@@ -1,0 +1,173 @@
+"""Flagship analytical queries — the full OLAP spine in three plans.
+
+These are the engine's headline scan→filter→join→agg→sort→limit pipelines
+over the TPC-H-ish testdata, exercising the backend-implied OLAP surface the
+reference provisions (SURVEY.md §2.3: ClickHouse deployed at
+/root/reference/docker-compose.yml:4 but all analytical SQL lives
+server-side).
+
+Scale notes (100 TB design point):
+- ``region``/``nation`` are broadcast by Catalyst (far below the broadcast
+  threshold); ``customer``⋈``orders``⋈``lineitem`` are shuffle joins on
+  their natural keys with AQE skew handling.
+- Aggregations are partial→final automatically (map-side combine), so the
+  shuffle carries group keys, not raw rows.
+- Filters are written on scan columns so they push into the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+from ._determinism import (
+    fixed_avg,
+    fixed_sum,
+    sql_fixed_avg,
+    sql_fixed_sum,
+)
+
+_Q1_CUTOFF = "2000-12-01"
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  {sql_fixed_sum('l_extendedprice', 100)} AS sum_base_price,
+  {sql_fixed_sum('l_extendedprice * (1 - l_discount)', 10000)} AS sum_disc_price,
+  {sql_fixed_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 1000000)} AS sum_charge,
+  CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+  {sql_fixed_avg('l_extendedprice', 100)} AS avg_price,
+  {sql_fixed_avg('l_discount', 100)} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_ORACLE, tags=("agg", "flagship"))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan→filter→groupBy→agg→sort.
+
+    Single shuffle (by the 2-column group key) after a map-side partial
+    aggregate; the shipdate filter pushes down to the parquet scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit(_Q1_CUTOFF))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            fixed_sum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            fixed_sum(disc_price, 10000).alias("sum_disc_price"),
+            fixed_sum(charge, 1000000).alias("sum_charge"),
+            (F.sum("l_quantity").cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            fixed_avg(F.col("l_extendedprice"), 100).alias("avg_price"),
+            fixed_avg(F.col("l_discount"), 100).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q3_ORACLE = f"""
+SELECT
+  l.l_orderkey,
+  CAST(o.o_orderdate AS DATE) AS order_date,
+  {sql_fixed_sum('l.l_extendedprice * (1 - l.l_discount)', 10000)} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1998-01-01'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_top_revenue_orders", oracle=_Q3_ORACLE, tags=("join", "flagship"))
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join → group → top-10 by revenue.
+
+    Mirrors the reference's "top rows per criterion" pattern
+    (/root/reference/s3_rankings_collector.py:88 keeps top-3 per topic).
+    ``customer`` filters to one segment before the join (selective filter
+    first → smaller shuffle); the final top-10 is TakeOrderedAndProject —
+    no global sort materialization.
+    """
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1998-01-01")
+    )
+    revenue_expr = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_orderkey"), F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(fixed_sum(revenue_expr, 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT
+  n.n_name,
+  {sql_fixed_sum('l.l_extendedprice * (1 - l.l_discount)', 10000)} AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1999-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q5_local_supplier_volume", oracle=_Q5_ORACLE, tags=("join", "flagship"))
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 6-way join incl. a non-key equality (local supplier).
+
+    ``region``/``nation``/``supplier`` broadcast (small dims); the
+    fact-side joins shuffle on orderkey/custkey. The supplier join carries
+    the extra ``s_nationkey = c_nationkey`` condition — a compound-key
+    equi-join, still hash-joinable (no nested loop).
+    """
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1999-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    revenue_expr = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(fixed_sum(revenue_expr, 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )

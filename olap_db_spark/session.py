@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for OLAP workloads.
+
+Defaults are chosen for the 100 TB design point and scale down to the
+local[32] test rig:
+
+- **AQE on** (runtime re-planning: shuffle-partition coalescing, skew-join
+  splitting, dynamic broadcast conversion) — replaces hand-tuning
+  ``spark.sql.shuffle.partitions`` per query.
+- **Arrow on** for any pandas interchange (vectorized Pandas UDF paths).
+- **Session timezone pinned to UTC** so timestamp semantics are
+  deterministic and oracle-comparable regardless of host TZ.
+- Parquet vectorized reader + dictionary filtering stay at their (on)
+  defaults; filters/column pruning reach the scan via Catalyst.
+
+On a real cluster the same factory is used with ``master`` unset (picked up
+from spark-submit) and executor sizing supplied externally; nothing in the
+engine assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "olap-db-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``shuffle_partitions`` is an *initial* value only — AQE coalesces it at
+    runtime, so a high value is safe at scale and cheap locally.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- Adaptive execution: the scale story -------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- Shuffle / memory -------------------------------------------
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Python interchange ------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- Determinism ---------------------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # Read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP_NTZ so
+        # wall-clock values match the oracle engine exactly.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # Local-mode driver heap is set by the launcher; harmless on cluster.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

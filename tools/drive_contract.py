@@ -1,0 +1,42 @@
+"""Driver simulation: consume __spark_entry__ exactly as the driver does."""
+import sys, json, hashlib
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as e
+from pyspark.sql import SparkSession
+import duckdb
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false")
+         .appName("driver-sim").getOrCreate())
+
+# t1 smoke: entry()
+df = e.entry(spark)
+rows = df.collect()
+print("SMOKE entry(): rows=", len(rows), "schema=", df.schema.simpleString())
+for r in rows[:3]: print("   ", r)
+
+# t2: queries vs oracle at sf0.01
+qs, oracles = e.queries(), e.oracle_sql()
+print("declared queries:", sorted(qs))
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+
+def vhash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(repr(tuple(r[i] for i in order)) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, "/root/testdata/sf0.01")
+    srows = [tuple(r) for r in sdf.collect()]
+    if name in oracles:
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]; drows = res.fetchall()
+        ok = (len(srows)==len(drows)) and vhash(sdf.columns, srows)==vhash(dcols, drows)
+        print(f"{name}: spark_rows={len(srows)} duck_rows={len(drows)} hash_match={ok}")
+    else:
+        print(f"{name}: rows-only rows={len(srows)}")
+spark.stop()
