@@ -1,1 +1,230 @@
-"""(placeholder — populated in a later milestone)"""
+"""Aggregation operator family (SURVEY.md §2.3 "Aggregation [implied]").
+
+All Spark aggregates run partial→final automatically (map-side combine);
+the shuffle carries one row per group per map partition, never raw rows.
+Quantiles are computed by explicit rank selection (window + filter) in BOTH
+engines so the semantics — and therefore the value hash — match exactly,
+instead of trusting two engines' interpolation to agree to the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import register
+from ._determinism import fixed_avg, fixed_sum, sql_fixed_avg, sql_fixed_sum
+
+# --- basic stats -------------------------------------------------------------
+
+_BASIC_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       {sql_fixed_sum('o_totalprice', 100)} AS sum_price,
+       {sql_fixed_avg('o_totalprice', 100)} AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_basic_stats", oracle=_BASIC_ORACLE, tags=("agg",))
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            fixed_sum(F.col("o_totalprice"), 100).alias("sum_price"),
+            fixed_avg(F.col("o_totalprice"), 100).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- count distinct ----------------------------------------------------------
+
+_CNTD_ORACLE = """
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT c_mktsegment) AS n_segments
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("agg_count_distinct", oracle=_CNTD_ORACLE, tags=("agg",))
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — Spark expands to a two-phase aggregate."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@register("agg_approx_count_distinct", tags=("agg", "approx"))
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate (ClickHouse `uniq` analog).
+
+    Rows-only check: HLL estimates are engine-specific by construction.
+    At 100 TB this is THE distinct-count to use — constant memory per
+    group vs. the exact version's per-key state. A pytest asserts the
+    estimate is within rsd of the exact count.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs")
+    )
+
+
+# --- quantiles by explicit rank selection -------------------------------------
+
+_QUANT_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*)    OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus,
+       MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN o_totalprice END) AS median_price,
+       MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN o_totalprice END) AS p90_price
+FROM ranked
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("agg_quantiles", oracle=_QUANT_ORACLE, tags=("agg",))
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles via rank selection — identical semantics in
+    both engines (no interpolation drift). ``percentile_approx`` is the
+    scale path; it is exercised rows-only elsewhere."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.col("n") * F.lit(q)).cast("long"),
+            F.col("o_totalprice"),
+        )
+    )
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(
+            pick(0.5).alias("median_price"),
+            pick(0.9).alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- collect_set / string_agg --------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT r.r_name,
+       STRING_AGG(DISTINCT n.n_name, '|' ORDER BY n.n_name) AS nations
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@register("agg_collect_set", oracle=_COLLECT_ORACLE, tags=("agg",))
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupArray/groupUniqArray analog: collect_set → sorted pipe-join so
+    the result is order-insensitive and string-comparable."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_set("n_name"))).alias("nations")
+        )
+        .orderBy("r_name")
+    )
+
+
+# --- rollup / cube / grouping sets ---------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT r.r_name, n.n_name,
+       COUNT(*) AS n_customers,
+       {sql_fixed_sum('c.c_acctbal', 100)} AS total_bal
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_ORACLE, tags=("agg",))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            fixed_sum(F.col("c_acctbal"), 100).alias("total_bal"),
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n_orders
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+"""
+
+
+@register("agg_cube", oracle=_CUBE_ORACLE, tags=("agg",))
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_GSETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_ORACLE, tags=("agg",))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL surface (spark.sql over a temp view) —
+    the engine's dual DataFrame/SQL contract (SURVEY.md §3.3)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
