@@ -1,0 +1,69 @@
+"""Domain extraction — the one genuine UDF in the whole port (SURVEY.md A26).
+
+The reference uses ``tldextract`` (public-suffix-list lookup,
+/root/reference/ranking_urls_generator.py:150-154) which is not expressible
+as a regex. ``tldextract`` is not installed in this container, so the UDF is
+import-gated: with the library present it does the real PSL parse; without
+it, a deterministic two-label heuristic covers the common gTLD cases and a
+short built-in list of two-level suffixes (co.uk etc.).
+
+Implemented as an Arrow-batched pandas UDF — at 100 TB this runs
+vectorized per batch, not per row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+try:  # pragma: no cover - container has no tldextract
+    import tldextract
+
+    _EXTRACTOR = tldextract.TLDExtract(suffix_list_urls=())
+except Exception:  # noqa: BLE001
+    _EXTRACTOR = None
+
+_TWO_LEVEL_SUFFIXES = {
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "co.za",
+}
+
+
+def _registered_domain_py(host: str) -> str | None:
+    if not host:
+        return None
+    host = host.lower().rstrip(".")
+    if _EXTRACTOR is not None:
+        rd = _EXTRACTOR(host).registered_domain
+        return rd or None
+    labels = host.split(".")
+    if len(labels) < 2:
+        return None
+    if len(labels) >= 3 and ".".join(labels[-2:]) in _TWO_LEVEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+_UDF_CACHE: dict[str, object] = {}
+
+
+def registered_domain_udf(host: Column) -> Column:
+    """Arrow-batched pandas UDF (created lazily — pandas_udf needs an
+    active SparkSession to parse its return type)."""
+    if "rd" not in _UDF_CACHE:
+
+        def _batch(hosts: pd.Series) -> pd.Series:
+            return hosts.map(_registered_domain_py)
+
+        _UDF_CACHE["rd"] = pandas_udf(_batch, "string")
+    return _UDF_CACHE["rd"](host)
+
+
+def subdomain_of(host: Column, registered: Column) -> Column:
+    """Subdomain part, NULL when absent or 'www' — the reference's
+    nullable-subdomain rule (/root/reference/rankings_generator.py:165-167)."""
+    sub = F.regexp_replace(host, F.concat(F.lit(r"\.?"), registered, F.lit("$")), "")
+    return F.when((sub == "") | (sub == "www"), F.lit(None)).otherwise(sub)
