@@ -52,11 +52,40 @@ _UDF_CACHE: dict[str, object] = {}
 
 def registered_domain_udf(host: Column) -> Column:
     """Arrow-batched pandas UDF (created lazily — pandas_udf needs an
-    active SparkSession to parse its return type)."""
+    active SparkSession to parse its return type).
+
+    The worker function is a SELF-CONTAINED closure: executor Python
+    workers cannot import this package (driver-owned sessions run from an
+    arbitrary cwd), so nothing worker-side may reference module globals —
+    only stdlib and by-value captured data (the suffix set)."""
     if "rd" not in _UDF_CACHE:
+        two_level = frozenset(_TWO_LEVEL_SUFFIXES)
+        use_tld = _EXTRACTOR is not None
 
         def _batch(hosts: pd.Series) -> pd.Series:
-            return hosts.map(_registered_domain_py)
+            if use_tld:  # pragma: no cover — tldextract not in container
+                import tldextract as _t
+
+                ex = _t.TLDExtract(suffix_list_urls=())
+
+                def one(h):
+                    if not h:
+                        return None
+                    return ex(h.lower().rstrip(".")).registered_domain or None
+
+            else:
+
+                def one(h):
+                    if not h:
+                        return None
+                    labels = h.lower().rstrip(".").split(".")
+                    if len(labels) < 2:
+                        return None
+                    if len(labels) >= 3 and ".".join(labels[-2:]) in two_level:
+                        return ".".join(labels[-3:])
+                    return ".".join(labels[-2:])
+
+            return hosts.map(one)
 
         _UDF_CACHE["rd"] = pandas_udf(_batch, "string")
     return _UDF_CACHE["rd"](host)

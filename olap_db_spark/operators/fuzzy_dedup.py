@@ -1,1 +1,460 @@
-"""(placeholder — populated in a later milestone)"""
+"""Document deduplication family (BASELINE.json north_star: "text dedup"):
+
+- exact        : hash-groupBy on a normalized fingerprint
+- n-gram Jaccard: shingle → explode → equi-join blocking → exact set math
+- MinHash + LSH : md5-based minhash signatures → banded candidate join →
+                  exact-Jaccard verification  (fully oracle-checked: the
+                  hash family is md5, computable identically in DuckDB)
+- SimHash      : 60-bit md5-derived simhash, banded by 15-bit chunks
+                  (rows-only oracle: hex→int conversion isn't expressible
+                  in DuckDB SQL; pytest asserts dup-pair recall instead)
+- embedding cosine near-dup: label-blocked pair join with deterministic
+  fixed-point cosine (see _vector.py)
+
+The testdata has no duplicate texts, so every query builds a DUP CORPUS
+inside the query: documents ∪ (doc_id+1_000_000 copies, 10% of them
+perturbed by an appended token). Both engines construct the identical
+corpus, so near-dup pairs exist by construction and results hash-compare.
+
+Scale design (the part that matters at 100 TB):
+- No pairwise cross join anywhere. Candidates come from equi-join
+  blocking (shared shingle / band key / LSH bucket / label) — the
+  standard shuffle-friendly shape: explode → hash-partition by
+  key → join within partitions.
+- Hub keys are capped (shingle doc-frequency ≤ 50) to bound the
+  worst-case pair fan-out; the cap is mirrored in the oracle so the
+  check stays exact. At 100 TB you'd tune the cap, not the shape.
+- MinHash signatures aggregate with min() per seed — map-side combine,
+  one shuffle per doc, 8 integers of state per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import register
+from ._vector import cosine_q, dot_q, norm2_q, quantize, sql_cosine, sql_dot, sql_quantize
+
+_DUP_OFFSET = 1_000_000
+
+_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' zq' ELSE text END AS text
+  FROM documents
+"""
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         ) AS shingles
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus) t
+  WHERE len(ws) >= 3
+"""
+
+_FREQ_CAP = 50
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.when(F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" zq")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return d.unionAll(dup)
+
+
+def _shingled(corpus: DataFrame) -> DataFrame:
+    """doc_id + distinct 3-word shingle array (docs with ≥3 tokens)."""
+    ws = F.split(F.trim(F.col("text")), " ")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    return (
+        corpus.filter(F.size(ws) >= 3)
+        .select("doc_id", F.array_distinct(tri).alias("shingles"))
+    )
+
+
+# --- exact dedup -----------------------------------------------------------------
+
+_EXACT_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT md5(lower(trim(text))) AS fp,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM corpus
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, tags=("dedup", "northstar"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the fingerprint, keep lowest doc_id.
+    The 100 TB shape — the fingerprint (16 bytes) is the only shuffled
+    payload besides the id."""
+    c = _dup_corpus(spark, sf_dir)
+    return c.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --- n-gram Jaccard ----------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+shingled AS ({_SHINGLES_SQL}),
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM shingled
+),
+capped AS (
+  SELECT sh FROM exploded GROUP BY sh HAVING COUNT(*) <= {_FREQ_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM exploded a
+  JOIN capped USING (sh)
+  JOIN exploded b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup", "northstar"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5.
+
+    Blocking = shared shingle (equi-join), hub shingles capped at doc-freq
+    ≤ 50 — candidate generation is a hash join on the shingle, never a
+    cross join. Jaccard is exact integer set math → one deterministic
+    division."""
+    sh = _shingled(_dup_corpus(spark, sf_dir))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    capped = (
+        exploded.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _FREQ_CAP)
+        .select("sh")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(capped, "sh")
+        .join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH (md5 hash family → fully oracle-checked) -------------------------
+
+_N_HASHES = 8
+_BANDS = 4  # 4 bands × 2 rows
+
+_SIGS_SQL = ", ".join(
+    f"MIN(md5('{j}|' || sh)) AS sig{j}" for j in range(_N_HASHES)
+)
+_BANDS_SQL = ", ".join(
+    f"md5(sig{2*b} || sig{2*b+1}) AS band{b}" for b in range(_BANDS)
+)
+_BAND_UNION_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_no, band{b} AS band_key FROM banded"
+    for b in range(_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+shingled AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id, {_SIGS_SQL}
+  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled) t
+  GROUP BY doc_id
+),
+banded AS (SELECT doc_id, {_BANDS_SQL} FROM sigs),
+bandkeys AS ({_BAND_UNION_SQL}),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / (len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM candidates c
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "northstar"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 md5 hashes) → LSH(4 bands × 2) → exact-Jaccard verify.
+
+    Fully oracle-checked: the hash family is md5-on-string, identical in
+    both engines, so candidates AND verdicts hash-compare exactly.
+
+    Scale shape: signature agg is 8 min()s (map-side combinable); banding
+    turns candidate generation into 4 equi-joins on 16-byte keys; only
+    candidate pairs (not all pairs) fetch shingle arrays for verification.
+    """
+    sh = _shingled(_dup_corpus(spark, sf_dir))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("sh")))).alias(f"sig{j}")
+            for j in range(_N_HASHES)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"sig{2*b}"), F.col(f"sig{2*b+1}"))).alias(
+                f"band{b}"
+            )
+            for b in range(_BANDS)
+        ],
+    )
+    bandkeys = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band_key")
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_no", "bk.band_key")
+    a = bandkeys.alias("a")
+    b = bandkeys.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - common
+    )
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash (rows-only: hex→int not expressible in the oracle dialect) --------------
+
+_SIM_BITS = 60
+_CHUNK_BITS = 15
+
+
+@register("dedup_simhash", tags=("dedup", "northstar"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit md5-derived simhash per doc, candidates
+    from 15-bit chunk collisions (hamming ≤ 12 guarantee via 4 chunks),
+    verified by exact hamming distance ≤ 6.
+
+    Deterministic (md5-based) but rows-only: DuckDB SQL lacks hex→int.
+    tests/test_northstar.py asserts exact-dup pairs come out at hamming 0.
+    Scale shape identical to MinHash banding: equi-join on chunk values.
+    """
+    corpus = _dup_corpus(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), " ")
+
+    def _bitsign_array(w):
+        # 60-bit md5-derived token hash → array of ±1 bit contributions.
+        # Shift amounts must be Python ints (Spark shiftright takes no
+        # Column), so the 60 bit-exprs are built in a Python loop.
+        h = F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for j in range(_SIM_BITS)
+            ]
+        )
+
+    bit_acc = F.aggregate(
+        ws,
+        F.array_repeat(F.lit(0).cast("long"), _SIM_BITS),
+        lambda acc, w: F.zip_with(acc, _bitsign_array(w), lambda x, y: x + y),
+    )
+    bits = F.transform(
+        bit_acc,
+        lambda v: F.when(v > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    docs = corpus.select("doc_id", bits.alias("bits"))
+
+    # 4 chunks of 15 bits each + the full simhash value
+    def _chunk(c):
+        return sum(
+            F.element_at(F.col("bits"), c * _CHUNK_BITS + j + 1)
+            * F.lit(2**j).cast("long")
+            for j in range(_CHUNK_BITS)
+        )
+
+    sim = docs.select(
+        "doc_id",
+        *[_chunk(c).alias(f"chunk{c}") for c in range(4)],
+    ).withColumn(
+        "simhash",
+        sum(
+            F.col(f"chunk{c}") * F.lit(2 ** (c * _CHUNK_BITS)).cast("long")
+            for c in range(4)
+        ),
+    )
+    ck = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("cno"), F.col(f"chunk{c}").alias("cval"))
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.cno", "ck.cval")
+    a, b = ck.alias("a"), ck.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cno") == F.col("b.cno"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- embedding cosine near-dup ---------------------------------------------------------
+
+_EMB_CORPUS_SQL = f"""
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_DUP_OFFSET} AS vec_id, label, embedding FROM embeddings
+"""
+
+_EMB_ORACLE = f"""
+WITH corpus AS ({_EMB_CORPUS_SQL}),
+q AS (
+  SELECT vec_id, label,
+         {sql_quantize('embedding')} AS qv
+  FROM corpus
+),
+n AS (
+  SELECT vec_id, label, qv, {sql_dot('qv', 'qv')} AS n2 FROM q
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {sql_cosine(sql_dot('a.qv', 'b.qv'), 'a.n2', 'b.n2')} AS cos_sim
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {sql_cosine(sql_dot('a.qv', 'b.qv'), 'a.n2', 'b.n2')} >= 0.95
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_ORACLE, tags=("dedup", "northstar"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: label-blocked pair join, fixed-point cosine
+    ≥ 0.95. Blocking by label keeps the pair count linear-ish; at 100 TB
+    the label becomes an LSH/IVF bucket (see similarity.ann_lsh) — the
+    join shape is identical."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "label", "embedding").unionAll(
+        e.select(
+            (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"), "label", "embedding"
+        )
+    )
+    q = corpus.select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("qv")
+    ).withColumn("n2", norm2_q(F.col("qv")))
+    a = q.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("qv").alias("qv_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("qv").alias("qv_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
+    )
+    cos = cosine_q(
+        dot_q(F.col("qv_a"), F.col("qv_b")), F.col("n2_a"), F.col("n2_b")
+    )
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.95)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

@@ -1,1 +1,265 @@
-"""(placeholder — populated in a later milestone)"""
+"""Similarity search over the `embeddings` table (BASELINE.json
+north_star: "similarity search").
+
+- ``sim_knn_bruteforce`` — exact top-k cosine for a query set: broadcast
+  the (tiny) query side against the full vector table. Cost is
+  O(|queries| · N) with NO shuffle of the big side — the correct exact
+  baseline at any scale. Fully oracle-checked via fixed-point cosine.
+- ``sim_ann_lsh`` — random-hyperplane LSH ANN: deterministic md5-derived
+  ±1 hyperplanes → 12-bit sign bucket → candidates = bucket collisions →
+  exact cosine re-rank. Rows-only (bucketing is engine-internal);
+  tests/test_northstar.py asserts recall ≥ 0.6 vs the brute-force top-k.
+
+At 100 TB: brute-force handles ad-hoc query sets (broadcast, one pass);
+the LSH path is the standing index — bucket assignment is a map-only
+transform, candidate retrieval an equi-join on bucket id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import register
+from ._vector import cosine_q, dot_q, norm2_q, quantize, sql_cosine, sql_dot, sql_quantize
+
+_K = 5
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
+),
+n AS (SELECT vec_id, qv, {sql_dot('qv', 'qv')} AS n2 FROM q),
+scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sql_cosine(sql_dot('qs.qv', 'c.qv'), 'qs.n2', 'c.n2')} AS cos_sim
+  FROM n qs JOIN n c ON c.vec_id <> qs.vec_id
+  WHERE qs.vec_id < {_N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= {_K}
+"""
+
+
+@register("sim_knn_bruteforce", oracle=_KNN_ORACLE, tags=("similarity", "northstar"))
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 5).
+
+    The query side is broadcast — the big vector table is scanned once,
+    never shuffled; top-k per query via window on the (small) scored set.
+    Ties break on neighbor_id so the result is total-ordered."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", quantize(F.col("embedding")).alias("qv")).withColumn(
+        "n2", norm2_q(F.col("qv"))
+    )
+    queries = q.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("n2").alias("n2_q"),
+    )
+    cands = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("n2").alias("n2_c"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cands, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            cosine_q(
+                dot_q(F.col("qv_q"), F.col("qv_c")), F.col("n2_q"), F.col("n2_c")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+# --- LSH ANN ---------------------------------------------------------------------
+
+# 12 tables × 4 bits: tuned for the weak-similarity regime of the test
+# vectors (true top-5 cosines ≈ 0.3–0.4 ⇒ per-bit collision p ≈ 0.61,
+# table hit ≈ 0.14, 12-table recall ≈ 0.83). At real scale raise bits per
+# table with log2(N) to keep bucket occupancy bounded.
+_N_TABLES = 12
+_BITS_PER_TABLE = 4
+_DIM = 64
+
+
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5(plane|dim) — reproducible
+    across runs/engines without any RNG."""
+    planes = []
+    for p in range(_N_TABLES * _BITS_PER_TABLE):
+        row = []
+        for d in range(_DIM):
+            h = hashlib.md5(f"{p}|{d}".encode()).digest()[0]
+            row.append(1 if h % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+@register("sim_ann_lsh", tags=("similarity", "northstar"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via multi-table random-hyperplane LSH (8 tables × 5-bit
+    sign buckets) + exact cosine re-rank over the union of bucket
+    collisions.
+
+    Rows-only check (bucket ids are index-internal); recall vs brute force
+    is asserted in tests. Scale shape: signatures are a map-only pass;
+    candidate fetch is an equi-join on (table, bucket) — no pairwise
+    blow-up. Tune _BITS_PER_TABLE with N (more bits → smaller buckets)."""
+    e = load(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    q = e.select("vec_id", quantize(F.col("embedding")).alias("qv")).withColumn(
+        "n2", norm2_q(F.col("qv"))
+    )
+
+    def _table_sig(t: int):
+        # 5-bit signature for table t; planes are ±1 literals so each dot
+        # is an integer zip-sum in codegen.
+        sig = F.lit(0).cast("long")
+        for b in range(_BITS_PER_TABLE):
+            row = planes[t * _BITS_PER_TABLE + b]
+            plane = F.array(*[F.lit(v) for v in row])
+            dot_p = F.aggregate(
+                F.zip_with(F.col("qv"), plane, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(dot_p > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            sig = sig + bit * F.lit(2**b).cast("long")
+        return sig
+
+    bucketed = q.select(
+        "vec_id",
+        "qv",
+        "n2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_no"), _table_sig(t).alias("bucket")
+                    )
+                    for t in range(_N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "qv", "n2", "tb.table_no", "tb.bucket")
+    queries = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("n2").alias("n2_q"),
+        F.col("table_no").alias("tq"),
+        F.col("bucket").alias("bq"),
+    )
+    cands = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("n2").alias("n2_c"),
+        F.col("table_no").alias("tc"),
+        F.col("bucket").alias("bc"),
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(
+            cands,
+            (F.col("tq") == F.col("tc"))
+            & (F.col("bq") == F.col("bc"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", "qv_q", "n2_q", "qv_c", "n2_c")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = pairs.withColumn(
+        "cos_sim",
+        cosine_q(dot_q(F.col("qv_q"), F.col("qv_c")), F.col("n2_q"), F.col("n2_c")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+# --- centroid/IVF-style coarse quantizer ---------------------------------------------
+
+_IVF_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label, {sql_quantize('embedding')} AS qv FROM embeddings
+),
+pos AS (
+  SELECT label, unnest(qv) AS v, unnest(range(0, {_DIM})) AS d FROM q
+),
+sums AS (SELECT label, d, SUM(v) AS sv FROM pos GROUP BY label, d),
+agg AS (
+  SELECT label,
+         MAX(CASE WHEN d = 0 THEN sv END) AS sv1,
+         MAX(CASE WHEN d = 1 THEN sv END) AS sv2
+  FROM sums GROUP BY label
+),
+members AS (SELECT label, COUNT(*) AS n_members FROM q GROUP BY label)
+SELECT m.label, m.n_members,
+       CAST(a.sv1 AS DOUBLE) / m.n_members / 1000000 AS centroid_d1,
+       CAST(a.sv2 AS DOUBLE) / m.n_members / 1000000 AS centroid_d2
+FROM members m JOIN agg a ON a.label = m.label
+ORDER BY m.label
+"""
+
+
+@register("sim_ivf_centroids", oracle=_IVF_ORACLE, tags=("similarity", "northstar"))
+def sim_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer building block: per-partition (label) centroid
+    of quantized vectors — element-wise exact integer sums, so even the
+    centroid computation hash-compares. At scale, labels come from k-means
+    iterations built on exactly this aggregate."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select("label", quantize(F.col("embedding")).alias("qv"))
+    # element-wise SUM via explode-with-position (posexplode) — map-side
+    # combinable; the exact-integer centroid numerators are order-free.
+    pos = q.select("label", F.posexplode("qv").alias("d", "v"))
+    agg = (
+        pos.groupBy("label", "d")
+        .agg(F.sum("v").alias("sv"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.max(F.when(F.col("d") == 0, F.col("sv"))).alias("sv1"),
+            F.max(F.when(F.col("d") == 1, F.col("sv"))).alias("sv2"),
+        )
+    )
+    members = q.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        members.join(agg, "label")
+        .select(
+            "label",
+            "n_members",
+            (
+                F.col("sv1").cast("double") / F.col("n_members") / F.lit(1000000)
+            ).alias("centroid_d1"),
+            (
+                F.col("sv2").cast("double") / F.col("n_members") / F.lit(1000000)
+            ).alias("centroid_d2"),
+        )
+        .orderBy("label")
+    )

@@ -1,1 +1,192 @@
-"""(placeholder — populated in a later milestone)"""
+"""Text-analysis operators over the `documents` table — the training-data
+pipeline surface (BASELINE.json north_star: "text analysis"). Everything is
+a pure column-expression pipeline (functions/text.py) with an exact DuckDB
+mirror, so the whole family is hash-verified, not just smoke-tested.
+
+Scale notes: all of these are embarrassingly parallel scans (no shuffle
+except the final small group-by) — the 100 TB plan is scan → map → partial
+agg, the cheapest shape Spark has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import (
+    BPE_RE,
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_signals,
+    token_count_bpe,
+    token_count_ws,
+)
+from ..registry import register
+
+_WS = "string_split(trim(text), ' ')"
+
+
+def _sql_hits(markers: tuple[str, ...]) -> str:
+    ors = " OR ".join(f"w = '{m}'" for m in markers)
+    return f"len(list_filter({_WS}, w -> {ors}))"
+
+
+# --- corpus stats by language ---------------------------------------------------
+
+_STATS_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       SUM(len({_WS})) AS total_tokens,
+       CAST(SUM(len({_WS})) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_stats_by_lang", oracle=_STATS_ORACLE, tags=("text",))
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tok = token_count_ws(F.col("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(n_tok.cast("long")).alias("total_tokens"),
+            (F.sum(n_tok.cast("long")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- per-document quality signals -------------------------------------------------
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       len({_WS}) AS n_tokens,
+       length(text) AS n_chars_m,
+       CAST(length(text) - len({_WS}) + 1 AS DOUBLE) / len({_WS}) AS avg_word_len,
+       CAST(len(list_distinct({_WS})) AS DOUBLE) / len({_WS}) AS uniq_token_ratio,
+       CAST({_sql_hits(LANG_MARKERS['en'])} AS DOUBLE) / len({_WS}) AS stop_ratio_en
+FROM documents
+"""
+
+
+@register("text_quality_signals", oracle=_QUALITY_ORACLE, tags=("text",))
+def text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality components (length, word stats, stopword density) —
+    the filter-side of a data-quality pipeline. Ratios are single exact-int
+    divisions (deterministic doubles)."""
+    d = load(spark, sf_dir, "documents")
+    sig = quality_signals(F.col("text"))
+    return d.select(
+        "doc_id",
+        sig["n_tokens"].alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        sig["avg_word_len"].alias("avg_word_len"),
+        sig["uniq_token_ratio"].alias("uniq_token_ratio"),
+        sig["stop_ratio_en"].alias("stop_ratio_en"),
+    )
+
+
+# --- language identification --------------------------------------------------------
+
+_LANGID_CASES = []
+for _lang in sorted(LANG_MARKERS, reverse=True):
+    _LANGID_CASES.append((_lang, _sql_hits(LANG_MARKERS[_lang])))
+
+_SCORE_COLS = ", ".join(f"{sql} AS s_{lang}" for lang, sql in _LANGID_CASES)
+_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang, _ in _LANGID_CASES) + ")"
+_CHAIN = "'und'"
+for _lang, _ in _LANGID_CASES:  # reverse-alpha → alpha-first tie-break
+    _CHAIN = f"CASE WHEN s_{_lang} = best AND best > 0 THEN '{_lang}' ELSE {_CHAIN} END"
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_SCORE_COLS} FROM documents
+), best AS (
+  SELECT *, {_BEST} AS best FROM scored
+)
+SELECT doc_id, lang AS labeled_lang, {_CHAIN} AS predicted_lang
+FROM best
+"""
+
+
+@register("text_lang_id", oracle=_LANGID_ORACLE, tags=("text",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (n-gram-lite). Deterministic
+    alphabetical tie-break; 'und' when no marker fires."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+# --- BPE-ish token counting ----------------------------------------------------------
+
+_BPE_ORACLE = f"""
+SELECT source,
+       SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS total_bpe_tokens,
+       SUM(len({_WS})) AS total_ws_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_token_count_bpe", oracle=_BPE_ORACLE, tags=("text",))
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretokenizer-style counting (letter runs | digit runs | symbols) —
+    the token-budget estimator of a training pipeline."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(token_count_bpe(F.col("text")).cast("long")).alias(
+                "total_bpe_tokens"
+            ),
+            F.sum(token_count_ws(F.col("text")).cast("long")).alias(
+                "total_ws_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --- fingerprinting --------------------------------------------------------------------
+
+_FP_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(lower(trim(text)))) AS n_distinct_fp
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_fingerprint", oracle=_FP_ORACLE, tags=("text",))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) + distinct-count per
+    source — the bookkeeping side of exact dedup."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(fingerprint(F.col("text"))).alias("n_distinct_fp"),
+        )
+        .orderBy("source")
+    )

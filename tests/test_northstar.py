@@ -1,0 +1,99 @@
+"""Quality gates for the rows-only north-star operators: the oracle can't
+hash-check them, so we assert their *semantics* — recall vs brute force,
+dup-pair detection, determinism across partitionings."""
+
+from __future__ import annotations
+
+from olap_db_spark.operators.fuzzy_dedup import (
+    _DUP_OFFSET,
+    dedup_minhash_lsh,
+    dedup_simhash,
+)
+from olap_db_spark.operators.similarity import sim_ann_lsh, sim_knn_bruteforce
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_simhash_finds_exact_dups(spark):
+    """Every unperturbed dup pair (id, id+offset) must surface at hamming 0."""
+    rows = dedup_simhash(spark, SF).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    # unperturbed copies: doc_id % 10 != 0
+    expected = [(i, i + _DUP_OFFSET) for i in range(1, 100) if i % 10 != 0]
+    missing = [p for p in expected if p not in pairs]
+    assert not missing, f"simhash missed exact dups: {missing[:5]}"
+    assert all(pairs[p] == 0 for p in expected if p in pairs)
+
+
+def test_minhash_finds_exact_dups(spark):
+    rows = dedup_minhash_lsh(spark, SF).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    expected = {(i, i + _DUP_OFFSET) for i in range(1, 100) if i % 10 != 0}
+    missing = expected - got
+    assert not missing, f"minhash missed exact dups: {sorted(missing)[:5]}"
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert all(jac[p] == 1.0 for p in expected)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """LSH ANN must recover ≥ 0.6 of the exact top-5 neighbors (12-bit
+    buckets at sf0.001 are coarse; exactness is the brute-force path)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_knn_bruteforce(spark, SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_ann_lsh(spark, SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"ANN recall too low: {recall:.2f}"
+
+
+def test_mm_decode_deterministic_across_partitionings(spark):
+    """The multimodal stub pipeline must be partitioning-invariant."""
+    from olap_db_spark.operators.multimodal_ops import mm_decode_resize_stats
+
+    a = {tuple(r) for r in mm_decode_resize_stats(spark, SF).collect()}
+    from olap_db_spark.catalog import load
+    from olap_db_spark.operators.multimodal_ops import (
+        _DECODE_SCHEMA,
+        _make_decode_stub,
+        with_binary_payload,
+    )
+
+    repart = (
+        with_binary_payload(load(spark, SF, "documents"))
+        .select("doc_id", "payload")
+        .repartition(7)
+        .mapInPandas(_make_decode_stub(False), schema=_DECODE_SCHEMA)
+    )
+    import pyspark.sql.functions as F
+
+    b = {
+        tuple(r)
+        for r in repart.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_frames").alias("tf"),
+        )
+        .collect()
+    }
+    a_tot = sum(r[1] for r in a)  # n_images summed over size classes
+    assert ("image-fake", a_tot, sum(r[2] for r in a)) in b
+
+
+def test_approx_count_distinct_accuracy(spark, duck):
+    """HLL estimate within 5% of exact (the rows-only scale path)."""
+    from olap_db_spark.operators.aggregates import agg_approx_count_distinct
+
+    est = {
+        r["o_orderstatus"]: r["approx_custs"]
+        for r in agg_approx_count_distinct(spark, "/root/testdata/sf0.01").collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    for k, v in exact.items():
+        assert abs(est[k] - v) / v < 0.05, (k, est[k], v)

@@ -29,14 +29,21 @@ def vhash(cols, rows):
     lines = sorted(repr(tuple(r[i] for i in order)) for r in rows)
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
+failures = []
 for name, fn in sorted(qs.items()):
-    sdf = fn(spark, "/root/testdata/sf0.01")
-    srows = [tuple(r) for r in sdf.collect()]
-    if name in oracles:
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]; drows = res.fetchall()
-        ok = (len(srows)==len(drows)) and vhash(sdf.columns, srows)==vhash(dcols, drows)
-        print(f"{name}: spark_rows={len(srows)} duck_rows={len(drows)} hash_match={ok}")
-    else:
-        print(f"{name}: rows-only rows={len(srows)}")
+    try:
+        sdf = fn(spark, "/root/testdata/sf0.01")
+        srows = [tuple(r) for r in sdf.collect()]
+        if name in oracles:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]; drows = res.fetchall()
+            ok = (len(srows)==len(drows)) and vhash(sdf.columns, srows)==vhash(dcols, drows)
+            print(f"{name}: spark_rows={len(srows)} duck_rows={len(drows)} hash_match={ok}")
+            if not ok: failures.append(name)
+        else:
+            print(f"{name}: rows-only rows={len(srows)}")
+    except Exception as ex:
+        failures.append(name)
+        print(f"{name}: CRASH {type(ex).__name__}: {str(ex).splitlines()[0][:140]}")
+print(f"FAILURES: {failures}" if failures else "ALL OK")
 spark.stop()
