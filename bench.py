@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": 1.23, ...}, "sf": 0.1}
+
+Execution is forced with the `noop` sink (full pipeline runs, nothing
+materializes on the driver) so timings measure the engine, not driver
+collect. A warm-up query absorbs JVM/codegen startup before timing begins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from olap_db_spark import registry  # noqa: E402
+from olap_db_spark.session import get_spark  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("olap-db-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = registry.all_queries()
+
+    # Warm-up: JVM, codegen, parquet footers.
+    run_query(queries["q1_pricing_summary"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        run_query(queries[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": f"total wall-clock, {len(timings)} queries, noop sink",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

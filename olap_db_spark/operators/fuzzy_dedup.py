@@ -149,32 +149,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join. Jaccard is exact integer set math → one deterministic
     division."""
     sh = _shingled(_dup_corpus(spark, sf_dir))
-    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    capped = (
-        exploded.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _FREQ_CAP)
-        .select("sh")
+    # One pass: explode carries each doc's shingle-set size, so pair rows
+    # already hold both set sizes — no sizes join, no shingle recompute.
+    exploded = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    grouped = (
+        exploded.groupBy("sh")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _FREQ_CAP))
+    )
+    # In-array pair generation (collect_list order is irrelevant: the
+    # a<b filter yields the same pair multiset under any ordering).
+    pairs_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        x["n_sh"].alias("na"),
+                        y["doc_id"].alias("doc_b"),
+                        y["n_sh"].alias("nb"),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["doc_a"] < s["doc_b"],
+    )
     pairs = (
-        a.join(capped, "sh")
-        .join(b, "sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        grouped.select(F.explode(pairs_arr).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.na").alias("na"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.nb").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     jac = F.col("common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("common")
     )
     return (
-        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -311,44 +329,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _dup_corpus(spark, sf_dir)
     ws = F.split(F.trim(F.col("text")), " ")
-
-    def _bitsign_array(w):
-        # 60-bit md5-derived token hash → array of ±1 bit contributions.
-        # Shift amounts must be Python ints (Spark shiftright takes no
-        # Column), so the 60 bit-exprs are built in a Python loop.
-        h = F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
-        return F.array(
-            *[
+    # ONE md5 per token occurrence (explode → hash → 60 cheap bit-sum
+    # aggregates); hashing inside a per-bit lambda would recompute md5
+    # 60× per token — measured 6× slower at sf0.1.
+    tokens = corpus.select("doc_id", F.explode(ws).alias("w"))
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    hashed = tokens.select("doc_id", h.alias("h"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
                 F.when(
-                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long"))
-                for j in range(_SIM_BITS)
-            ]
-        )
-
-    bit_acc = F.aggregate(
-        ws,
-        F.array_repeat(F.lit(0).cast("long"), _SIM_BITS),
-        lambda acc, w: F.zip_with(acc, _bitsign_array(w), lambda x, y: x + y),
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"b{j}")
+            for j in range(_SIM_BITS)
+        ]
     )
-    bits = F.transform(
-        bit_acc,
-        lambda v: F.when(v > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-    )
-    docs = corpus.select("doc_id", bits.alias("bits"))
 
     # 4 chunks of 15 bits each + the full simhash value
     def _chunk(c):
         return sum(
-            F.element_at(F.col("bits"), c * _CHUNK_BITS + j + 1)
-            * F.lit(2**j).cast("long")
+            F.when(F.col(f"b{c * _CHUNK_BITS + j}") > 0, F.lit(2**j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
             for j in range(_CHUNK_BITS)
         )
 
-    sim = docs.select(
+    sim = bit_sums.select(
         "doc_id",
         *[_chunk(c).alias(f"chunk{c}") for c in range(4)],
     ).withColumn(

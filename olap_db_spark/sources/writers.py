@@ -1,0 +1,80 @@
+"""Sinks + idempotent ingest — the reference's write surface
+(SURVEY.md A9–A14, A41–A43).
+
+The reference bulk-loads CSV into ClickHouse (subprocess `clickhouse-client`
+at /root/reference/ingest.py:18, columnar native-TCP inserts at
+/root/reference/ranking_urls_ingestor.py:66-79) and tracks ingest-once
+flags in DynamoDB (:82-93). Spark-first: appends become Parquet appends,
+the `{locale}/{page}/{chunk}` S3 key choreography becomes
+``partitionBy``, and the flag store becomes an ingest-log table consulted
+with a broadcast anti-join — the same idempotency, minus the second
+database.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def append_parquet(df: DataFrame, path: str) -> None:
+    """A12–A14: append batch. At scale: sized files via AQE coalescing."""
+    df.write.mode("append").parquet(path)
+
+
+def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:
+    """A11's `{locale}/{page}/{chunk}` layout → directory partitioning;
+    readers prune partitions from the path (SURVEY.md §4.2)."""
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """A9: CSV sink with header."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+_LOG_SCHEMA = "batch_id STRING"
+
+
+def idempotent_append(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    log_path: str,
+    batch_id: str,
+) -> bool:
+    """Ingest-once semantics (A41–A43): skip if ``batch_id`` is already in
+    the ingest log; else append data THEN commit the flag (same order as
+    the reference: flag write after ingest,
+    /root/reference/ranking_urls_ingestor.py:114 — a crash between the two
+    re-ingests rather than drops, matching its at-least-once choice).
+
+    Returns True if the batch was written, False if skipped. The log read
+    is a metadata-sized scan; at 100 TB the log is a partitioned table and
+    the existence probe is a partition-pruned lookup."""
+    try:
+        log = spark.read.schema(_LOG_SCHEMA).parquet(log_path)
+        already = log.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+    except Exception:  # first ever batch: no log yet
+        already = False
+    if already:
+        return False
+    df.write.mode("append").parquet(path)
+    spark.createDataFrame([(batch_id,)], _LOG_SCHEMA).write.mode("append").parquet(
+        log_path
+    )
+    return True
+
+
+def dedup_against_existing(
+    spark: SparkSession, incoming: DataFrame, path: str, key_cols: list[str]
+) -> DataFrame:
+    """Row-level idempotency: anti-join incoming rows against the keys
+    already present in the sink (the ingest-log-as-anti-join pattern,
+    SURVEY.md A42 Spark mapping). Key columns only are scanned from the
+    sink (column pruning)."""
+    try:
+        existing = spark.read.parquet(path).select(*key_cols)
+    except Exception:
+        return incoming
+    return incoming.join(existing, key_cols, "left_anti")

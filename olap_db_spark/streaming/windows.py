@@ -1,0 +1,105 @@
+"""Structured Streaming surface (SURVEY.md §2.3-S, Phase 5).
+
+The batch event-time operators (operators/events_ts.py) are the
+correctness deliverable; this module runs the SAME aggregation expressions
+under ``readStream`` with watermarks — the batch results are the oracle
+(tests/test_streaming.py asserts stream==batch on the replayed fixture).
+
+Design: the events parquet is replayed as a file stream with
+``trigger(availableNow=True)`` (bounded backfill — exactly how a 100 TB
+historical replay starts a streaming job). Watermarks bound state: 1 h of
+event-time lateness ⇒ state is one hour of open windows per key, however
+large the backlog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import _EVENTS_RAW_SCHEMA
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-stream over events parquet with the same nanos→TIMESTAMP_NTZ
+    rebuild as the batch catalog (olap_db_spark.catalog._load_events)."""
+    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(events_dir)
+    return (
+        raw.withColumn("_s", F.expr("ts DIV 1000000000"))
+        .withColumn(
+            "_d",
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.expr("CAST(_s DIV 86400 AS INT)")
+            ),
+        )
+        .withColumn(
+            "ts",
+            F.expr(
+                "make_timestamp_ntz(year(_d), month(_d), day(_d),"
+                " CAST((_s % 86400) DIV 3600 AS INT),"
+                " CAST((_s % 3600) DIV 60 AS INT),"
+                " CAST((ts DIV 1000) % 60000000 AS DOUBLE) / 1000000.0)"
+            ),
+        )
+        # Watermarks require TIMESTAMP (not NTZ). Under the engine's
+        # UTC-pinned session (session.get_spark) the cast is wall-clock
+        # exact; streaming entry points should use that factory.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """30-min tumbling counts per event type — streaming twin of
+    operators/events_ts.ts_tumbling_window (same window expression)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "30 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("bucket_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows per user (stateful merge under watermark)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Stateful streaming dedup on event_id — state expires with the
+    watermark instead of growing forever (the streaming analog of the
+    ingest-once flags, SURVEY.md A42)."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(sdf: DataFrame, query_name: str, output_mode: str) -> list:
+    """Execute a bounded replay into the in-memory sink and return rows.
+    (Tests/dev harness — production jobs point writeStream at Parquet/Kafka
+    with a checkpoint location.)"""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = sdf.sparkSession
+    return spark.sql(f"SELECT * FROM {query_name}").collect()

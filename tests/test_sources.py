@@ -1,0 +1,110 @@
+"""Sources/sinks: typed CSV round trip, array-literal repair, partitioned
+writes with pruning, idempotent ingest (A41–A43 semantics)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from olap_db_spark.sources.generator import generate_rankings
+from olap_db_spark.sources.readers import (
+    read_ranking_urls_csv,
+    read_rankings_csv,
+    repair_array_literal,
+)
+from olap_db_spark.sources.writers import (
+    dedup_against_existing,
+    idempotent_append,
+    write_partitioned,
+)
+
+
+def test_rankings_csv_roundtrip(spark, tmp_path):
+    # reference sample shape: rankings_data/rankings_en-ca_1.csv
+    csv = tmp_path / "r.csv"
+    csv.write_text(
+        "domain,date,term,url,rank,volume,cpc\n"
+        "casino.org,2023-03-17,casino apps for iphone,https://www.casino.org/iphone/,1,246000,4.72\n"
+        "gambling.com,2023-03-18,best slots,https://gambling.com/slots,2,1000,0.5\n"
+    )
+    df = read_rankings_csv(spark, str(csv))
+    rows = df.orderBy("rank").collect()
+    assert rows[0]["domain"] == "casino.org"
+    assert rows[0]["date"] == datetime.date(2023, 3, 17)
+    assert rows[0]["volume"] == 246000 and abs(rows[0]["cpc"] - 4.72) < 1e-9
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "date", "string", "string", "int", "bigint", "double",
+    ]
+
+
+def test_array_literal_repair(spark):
+    df = spark.createDataFrame(
+        [("['organic', 'videos']",), ("[]",)], "s STRING"
+    ).select(repair_array_literal(F.col("s")).alias("a"))
+    rows = df.collect()
+    assert rows[0]["a"] == ["organic", "videos"]
+    assert rows[1]["a"] == []
+
+
+def test_ranking_urls_csv_arrays(spark, tmp_path):
+    csv = tmp_path / "ru.csv"
+    header = (
+        "domain,root_domain,date,url_bone,url,term,rank,volume,cpc,competition,"
+        "category_strings,mm_difficulty,traffic,traffic_pct,serp_features,results_count"
+    )
+    csv.write_text(
+        header + "\n"
+        'casino.org,casino.org,2023-03-17,casino.org/x,https://casino.org/x,t,1,10,0.1,0.5,'
+        '"[\'a\', \'b\']",1.0,2.0,0.3,"[\'organic\']",100\n'
+    )
+    row = read_ranking_urls_csv(spark, str(csv)).collect()[0]
+    assert row["category_strings"] == ["a", "b"]
+    assert row["serp_features"] == ["organic"]
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = generate_rankings(spark, 1000, n_partitions=4)
+    out = str(tmp_path / "parts")
+    write_partitioned(df, out, "domain")
+    back = spark.read.parquet(out).filter(F.col("domain") == "casino.org")
+    # partition pruning: the filter must reach PartitionFilters, not data
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(domain" in plan
+    assert back.count() == 250
+
+
+def test_idempotent_append(spark, tmp_path):
+    df = generate_rankings(spark, 100, n_partitions=2)
+    data, log = str(tmp_path / "data"), str(tmp_path / "log")
+    assert idempotent_append(spark, df, data, log, "batch-1") is True
+    n1 = spark.read.parquet(data).count()
+    assert idempotent_append(spark, df, data, log, "batch-1") is False  # skip
+    assert spark.read.parquet(data).count() == n1 == 100
+    assert idempotent_append(spark, df, data, log, "batch-2") is True
+    assert spark.read.parquet(data).count() == 200
+
+
+def test_dedup_against_existing(spark, tmp_path):
+    path = str(tmp_path / "sink")
+    df = generate_rankings(spark, 50, n_partitions=1).withColumn(
+        "id", F.monotonically_increasing_id()
+    )
+    df.write.parquet(path)
+    incoming = df  # full overlap
+    remaining = dedup_against_existing(spark, incoming, path, ["id"])
+    assert remaining.count() == 0
+
+
+def test_generator_value_domains(spark):
+    df = generate_rankings(spark, 2000, n_partitions=4)
+    agg = df.agg(
+        F.min("rank").alias("rmin"), F.max("rank").alias("rmax"),
+        F.min("volume").alias("vmin"), F.max("volume").alias("vmax"),
+        F.min("cpc").alias("cmin"), F.max("cpc").alias("cmax"),
+        F.countDistinct("domain").alias("nd"),
+    ).collect()[0]
+    assert 1 <= agg["rmin"] and agg["rmax"] <= 100
+    assert agg["vmin"] >= 10 and agg["vmax"] <= 50_000_000 and agg["vmin"] % 10 == 0
+    assert 0 <= agg["cmin"] and agg["cmax"] <= 10
+    assert agg["nd"] == 4

@@ -1,0 +1,69 @@
+"""Streaming vs batch equivalence (SURVEY.md §7.3 item 5: streaming has no
+external oracle — the batch computation on the same fixture is the ground
+truth)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_db_spark.catalog import load
+from olap_db_spark.streaming.windows import (
+    dedup_within_watermark,
+    run_available_now,
+    stream_events,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    """File-stream source dir: the events parquet replayed as one file."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_streaming_tumbling_equals_batch(spark, events_stream_dir):
+    sdf = tumbling_counts(stream_events(spark, events_stream_dir))
+    got = {
+        (r["bucket_start"], r["event_type"]): r["n_events"]
+        for r in run_available_now(sdf, "t_tumbling", "append")
+    }
+    batch = (
+        load(spark, SF, "events")
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("b"),
+            "event_type",
+            "n_events",
+        )
+    )
+    want = {(r["b"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    # availableNow emits only windows the final watermark passed; every
+    # emitted window must match batch, and coverage must be near-total.
+    assert got, "stream produced no windows"
+    for k, v in got.items():
+        assert want.get(k) == v, k
+    assert len(got) >= len(want) - 5  # tail windows may be held back
+
+
+def test_streaming_dedup_drops_replayed_ids(spark, events_stream_dir, tmp_path):
+    # duplicate the file → every event_id arrives twice
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", dup_dir / "a.parquet")
+    shutil.copy(f"{SF}/events.parquet", dup_dir / "b.parquet")
+    sdf = dedup_within_watermark(stream_events(spark, str(dup_dir)))
+    rows = run_available_now(
+        sdf.select("event_id"), "t_dedup", "append"
+    )
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "duplicates survived"
+    assert len(set(ids)) == 1000
