@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "olap_db_spark.operators.similarity",
     "olap_db_spark.operators.multimodal_ops",
     "olap_db_spark.operators.metadata_ops",
+    "olap_db_spark.operators.scale_techniques",
 )
 
 
