@@ -130,39 +130,40 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2", norm2_q(F.col("qv"))
     )
 
-    def _table_sig(t: int):
-        # 5-bit signature for table t; planes are ±1 literals so each dot
-        # is an integer zip-sum in codegen.
-        sig = F.lit(0).cast("long")
-        for b in range(_BITS_PER_TABLE):
-            row = planes[t * _BITS_PER_TABLE + b]
-            plane = F.array(*[F.lit(v) for v in row])
-            dot_p = F.aggregate(
-                F.zip_with(F.col("qv"), plane, lambda x, s: x * s),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bit = F.when(dot_p > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            sig = sig + bit * F.lit(2**b).cast("long")
-        return sig
+    # All table signatures in ONE vectorized integer matmul (Arrow batch →
+    # numpy int64 (n,64) @ (64,planes)): exact integer arithmetic, so the
+    # buckets are deterministic, and ~50× less work than per-plane
+    # interpreted array lambdas. Self-contained closure (executor workers
+    # cannot import this package).
+    n_tables, bits = _N_TABLES, _BITS_PER_TABLE
+    plane_rows = [list(row) for row in planes]
+
+    def _make_bucketer():
+        from pyspark.sql.functions import pandas_udf as _pudf
+
+        def buckets(qvs):
+            import numpy as _np
+            import pandas as _pd
+
+            pm = _np.array(plane_rows, dtype=_np.int64).T  # (dim, planes)
+            mat = _np.stack(qvs.map(_np.asarray).values).astype(_np.int64)
+            dots = mat @ pm  # (n, planes), exact int64
+            bit = (dots > 0).astype(_np.int64)
+            out = []
+            for t in range(n_tables):
+                chunk = bit[:, t * bits : (t + 1) * bits]
+                out.append(chunk @ (1 << _np.arange(bits, dtype=_np.int64)))
+            stacked = _np.stack(out, axis=1)  # (n, tables)
+            return _pd.Series(list(stacked))
+
+        return _pudf(buckets, "array<long>")
 
     bucketed = q.select(
         "vec_id",
         "qv",
         "n2",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_no"), _table_sig(t).alias("bucket")
-                    )
-                    for t in range(_N_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "qv", "n2", "tb.table_no", "tb.bucket")
+        F.posexplode(_make_bucketer()(F.col("qv"))).alias("table_no", "bucket"),
+    )
     queries = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qv_q"),
