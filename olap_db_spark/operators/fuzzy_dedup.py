@@ -345,11 +345,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _dup_corpus(spark, sf_dir)
     ws = F.split(F.trim(F.col("text")), " ")
-    # ONE md5 per token occurrence (explode → hash → 60 cheap bit-sum
-    # aggregates); hashing inside a per-bit lambda would recompute md5
-    # 60× per token — measured 6× slower at sf0.1.
+    # ONE hash per token occurrence (explode → hash → 60 cheap bit-sum
+    # aggregates). xxhash64 is JVM-native (no hex string round-trip like
+    # md5+conv) — fine here because simhash is rows-only, no SQL mirror;
+    # mask to the low 60 bits so shifts stay in non-negative territory.
     tokens = corpus.select("doc_id", F.explode(ws).alias("w"))
-    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    h = F.xxhash64(F.col("w")).bitwiseAND(F.lit((1 << _SIM_BITS) - 1))
     hashed = tokens.select("doc_id", h.alias("h"))
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
