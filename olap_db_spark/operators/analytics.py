@@ -171,3 +171,54 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(fixed_sum(revenue_expr, 10000).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE))
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_priority_exists", oracle=_Q4_ORACLE, tags=("subquery", "flagship"))
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: correlated EXISTS through the SQL surface.
+
+    Catalyst decorrelates the EXISTS into a left-semi join on
+    (orderkey + the date comparison) — demonstrating that the engine's
+    SQL entry point gets the same join-based plan a hand-written
+    left_semi would (SURVEY.md §2.3 joins row)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q4_ORACLE)
+
+
+_Q17_ORACLE = """
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("q17_small_qty_revenue", oracle=_Q17_ORACLE, tags=("subquery", "flagship"))
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: correlated SCALAR subquery (per-part average)
+    through the SQL surface; Catalyst decorrelates it into an aggregate +
+    join. Quantities are integer-valued doubles, so the per-part AVG is
+    exact in both engines and the threshold comparison is deterministic."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_ORACLE)

@@ -190,3 +190,39 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_QFILTER_ORACLE = f"""
+SELECT doc_id, lang,
+       len({_WS}) AS n_tokens,
+       CAST(len(list_distinct({_WS})) AS DOUBLE) / len({_WS}) AS uniq_ratio
+FROM documents
+WHERE len({_WS}) >= 30
+  AND CAST(len(list_distinct({_WS})) AS DOUBLE) / len({_WS}) >= 0.3
+  AND CAST({_sql_hits(LANG_MARKERS['en'])} AS DOUBLE) / len({_WS}) <= 0.5
+"""
+
+
+@register("text_quality_filter", oracle=_QFILTER_ORACLE, tags=("text",))
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data FILTER step: keep documents passing length,
+    vocabulary-diversity, and stopword-density thresholds — the decision
+    surface quality_signals feeds. Pure scan→map→filter (no shuffle):
+    the cheapest possible 100 TB shape."""
+    d = load(spark, sf_dir, "documents")
+    sig = quality_signals(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            sig["n_tokens"].alias("n_tokens"),
+            sig["uniq_token_ratio"].alias("uniq_ratio"),
+            sig["stop_ratio_en"].alias("_stop"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 30)
+            & (F.col("uniq_ratio") >= 0.3)
+            & (F.col("_stop") <= 0.5)
+        )
+        .drop("_stop")
+    )
