@@ -67,3 +67,29 @@ def test_streaming_dedup_drops_replayed_ids(spark, events_stream_dir, tmp_path):
     ids = [r["event_id"] for r in rows]
     assert len(ids) == len(set(ids)), "duplicates survived"
     assert len(set(ids)) == 1000
+
+
+def test_streaming_sessions_equal_batch(spark, events_stream_dir):
+    from olap_db_spark.streaming.windows import sessionized
+
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in run_available_now(
+            sessionized(stream_events(spark, events_stream_dir)), "t_sess", "append"
+        )
+    }
+    batch = (
+        load(spark, SF, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("s"),
+            "n_events",
+        )
+    )
+    want = {(r["user_id"], r["s"]): r["n_events"] for r in batch.collect()}
+    assert got, "no sessions emitted"
+    for k, v in got.items():
+        assert want.get(k) == v, k
+    assert len(got) >= len(want) - 20  # watermark may hold back tail sessions
