@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "olap_db_spark.operators.multimodal_ops",
     "olap_db_spark.operators.metadata_ops",
     "olap_db_spark.operators.scale_techniques",
+    "olap_db_spark.operators.kmeans",
 )
 
 
