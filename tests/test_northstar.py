@@ -97,3 +97,25 @@ def test_approx_count_distinct_accuracy(spark, duck):
     )
     for k, v in exact.items():
         assert abs(est[k] - v) / v < 0.05, (k, est[k], v)
+
+
+def test_components_cluster_dup_pairs(spark):
+    """Every Jaccard pair's endpoints must land in the same component;
+    unperturbed dups (i, i+offset) cluster with representative == i
+    unless i links into a lower-id near-dup cluster."""
+    from olap_db_spark.operators.fuzzy_dedup import (
+        dedup_components,
+        dedup_ngram_jaccard,
+    )
+
+    comp = {
+        r["doc_id"]: r["component"] for r in dedup_components(spark, SF).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(spark, SF).collect()
+    ]
+    assert pairs, "no near-dup pairs at sf0.001"
+    bad = [(a, b) for a, b in pairs if comp[a] != comp[b]]
+    assert not bad, f"pairs split across components: {bad[:5]}"
+    keepers = {c for c in comp.values()}
+    assert all(comp[k] == k for k in keepers), "component rep not its own label"
