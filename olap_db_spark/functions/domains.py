@@ -32,21 +32,6 @@ _TWO_LEVEL_SUFFIXES = {
 }
 
 
-def _registered_domain_py(host: str) -> str | None:
-    if not host:
-        return None
-    host = host.lower().rstrip(".")
-    if _EXTRACTOR is not None:
-        rd = _EXTRACTOR(host).registered_domain
-        return rd or None
-    labels = host.split(".")
-    if len(labels) < 2:
-        return None
-    if len(labels) >= 3 and ".".join(labels[-2:]) in _TWO_LEVEL_SUFFIXES:
-        return ".".join(labels[-3:])
-    return ".".join(labels[-2:])
-
-
 _UDF_CACHE: dict[str, object] = {}
 
 
@@ -93,6 +78,18 @@ def registered_domain_udf(host: Column) -> Column:
 
 def subdomain_of(host: Column, registered: Column) -> Column:
     """Subdomain part, NULL when absent or 'www' — the reference's
-    nullable-subdomain rule (/root/reference/rankings_generator.py:165-167)."""
-    sub = F.regexp_replace(host, F.concat(F.lit(r"\.?"), registered, F.lit("$")), "")
+    nullable-subdomain rule (/root/reference/rankings_generator.py:165-167).
+
+    Computed by LENGTH arithmetic, not regex: interpolating the registered
+    domain into a pattern would treat its dots as wildcards (regex
+    injection) — 'blogxcasino.org' must not match '.casino.org'."""
+    is_suffix = (host == registered) | host.endswith(
+        F.concat(F.lit("."), registered)
+    )
+    sub = F.when(
+        is_suffix & (F.length(host) > F.length(registered)),
+        F.substring(
+            host, F.lit(1), F.length(host) - F.length(registered) - F.lit(1)
+        ),
+    ).otherwise(F.lit(""))
     return F.when((sub == "") | (sub == "www"), F.lit(None)).otherwise(sub)

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
@@ -335,9 +334,12 @@ _CHUNK_BITS = 15
 
 @register("dedup_simhash", tags=("dedup", "northstar"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 60-bit md5-derived simhash per doc, candidates
-    from 15-bit chunk collisions (hamming ≤ 12 guarantee via 4 chunks),
-    verified by exact hamming distance ≤ 6.
+    """SimHash near-dup: 60-bit simhash per doc, candidates from 15-bit
+    chunk collisions, verified by exact hamming distance ≤ 3.
+
+    Banding guarantee (pigeonhole): 4 chunks collide on ≥1 chunk for any
+    pair with hamming ≤ 3; beyond that recall decays — so the verify
+    threshold matches the guarantee instead of over-promising.
 
     Deterministic (md5-based) but rows-only: DuckDB SQL lacks hex→int.
     tests/test_northstar.py asserts exact-dup pairs come out at hamming 0.
@@ -413,7 +415,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -439,7 +441,8 @@ n AS (
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {sql_cosine(sql_dot('a.qv', 'b.qv'), 'a.n2', 'b.n2')} AS cos_sim
 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {sql_cosine(sql_dot('a.qv', 'b.qv'), 'a.n2', 'b.n2')} >= 0.95
+WHERE a.n2 > 0 AND b.n2 > 0
+  AND {sql_cosine(sql_dot('a.qv', 'b.qv'), 'a.n2', 'b.n2')} >= 0.95
 """
 
 
@@ -476,6 +479,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = (_np.floor(_np.abs(v) + 0.5) * _np.sign(v)).astype(_np.int64)
             dots = q @ q.T  # exact int64
             n2 = _np.diag(dots).astype(_np.float64)
+            # zero-norm vectors (all |x| < 0.5/scale) would make 0/0 NaN
+            # cosines with engine-divergent `>=` semantics; exclude them
+            # (mirrored by the n2 > 0 predicates in the oracle).
+            nz = n2 > 0
+            ids, dots, n2 = ids[nz], dots[_np.ix_(nz, nz)], n2[nz]
             cos = dots / (_np.sqrt(n2)[:, None] * _np.sqrt(n2)[None, :])
             iu = _np.triu_indices(len(ids), k=1)
             a, b, c = ids[iu[0]], ids[iu[1]], cos[iu]
@@ -529,7 +537,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(8):  # safety bound; converges at the cluster diameter
+    changed = None
+    for _ in range(16):  # bound >> near-dup cluster diameter
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -557,6 +566,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.drop("_changed")
         if not changed:
             break
+    if changed:
+        raise RuntimeError(
+            "dedup_components did not converge within the iteration bound; "
+            "raise the bound for graphs with larger component diameters"
+        )
     return (
         labels.select(
             F.col("node").alias("doc_id"),

@@ -20,11 +20,8 @@ tests/test_kmeans.py.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
@@ -82,9 +79,14 @@ def kmeans_fit_assign(
         .collect()
     ]
 
+    vecs = vecs.localCheckpoint()  # cut lineage once; scanned every iter
     assigned = None
     for _ in range(iters):
-        assigned = vecs.withColumn("cluster", _assign_udf(centroids)(F.col("qv")))
+        # materialize the assignment: two aggregate branches + the final
+        # consumer would otherwise re-run the Arrow assignment UDF 3x
+        assigned = vecs.withColumn(
+            "cluster", _assign_udf(centroids)(F.col("qv"))
+        ).localCheckpoint()
         # update: per-cluster integer sums + counts (k×dim ints to driver)
         pos = assigned.select("cluster", F.posexplode("qv").alias("d", "v"))
         sums = (

@@ -20,7 +20,6 @@ column holds (uri, offset, nbytes) pointers — same schema, same pipeline.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd

@@ -15,6 +15,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+
+def _read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet table, returning None ONLY when the path doesn't
+    exist yet. Any other failure (corrupt footer, permissions, schema
+    problems) must RAISE: swallowing it here turned "transient read
+    error" into silent data loss / duplicate ingest in earlier drafts."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" in str(ex):
+            return None
+        raise
 
 
 def append_parquet(df: DataFrame, path: str) -> None:
@@ -52,11 +66,11 @@ def idempotent_append(
     Returns True if the batch was written, False if skipped. The log read
     is a metadata-sized scan; at 100 TB the log is a partitioned table and
     the existence probe is a partition-pruned lookup."""
-    try:
-        log = spark.read.schema(_LOG_SCHEMA).parquet(log_path)
-        already = log.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
-    except Exception:  # first ever batch: no log yet
-        already = False
+    log = _read_parquet_if_exists(spark, log_path)
+    already = (
+        log is not None
+        and log.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+    )
     if already:
         return False
     df.write.mode("append").parquet(path)
@@ -85,11 +99,8 @@ def upsert_keep_latest(
     identical."""
     from pyspark.sql.window import Window
 
-    try:
-        existing = spark.read.parquet(path)
-        unioned = existing.unionByName(incoming)
-    except Exception:
-        unioned = incoming
+    existing = _read_parquet_if_exists(spark, path)
+    unioned = incoming if existing is None else existing.unionByName(incoming)
     w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
     latest = (
         unioned.withColumn("_rn", F.row_number().over(w))
@@ -99,6 +110,10 @@ def upsert_keep_latest(
     staging = path.rstrip("/") + "._staging"
     latest.write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    # best-effort staging cleanup (local/HDFS path)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def dedup_against_existing(
@@ -108,8 +123,7 @@ def dedup_against_existing(
     already present in the sink (the ingest-log-as-anti-join pattern,
     SURVEY.md A42 Spark mapping). Key columns only are scanned from the
     sink (column pruning)."""
-    try:
-        existing = spark.read.parquet(path).select(*key_cols)
-    except Exception:
+    sink = _read_parquet_if_exists(spark, path)
+    if sink is None:
         return incoming
-    return incoming.join(existing, key_cols, "left_anti")
+    return incoming.join(sink.select(*key_cols), key_cols, "left_anti")

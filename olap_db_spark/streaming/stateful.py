@@ -33,9 +33,15 @@ def _make_tracker():
         )
         for pdf in pdfs:
             n += len(pdf)
-            # per-row cents rounding (not round-of-sum) — matches the
-            # batch engine's fixed-point discipline exactly
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            # per-row cents with round-HALF-AWAY (pandas .round() is
+            # banker's half-even and would drift from Spark/DuckDB on
+            # exact .5 products) — matches the batch fixed-point discipline
+            import numpy as _np
+
+            v = pdf["value"].to_numpy() * 100.0
+            cents += int(
+                (_np.floor(_np.abs(v) + 0.5) * _np.sign(v)).astype(_np.int64).sum()
+            )
             mx = pdf["ts"].max()
             s = mx.strftime("%Y-%m-%d %H:%M:%S")
             if s > last_seen:
