@@ -228,3 +228,69 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# --- pivot (cross-tab) -------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_PIVOT_CASES = ",\n       ".join(
+    f"SUM(CASE WHEN c.c_mktsegment = '{s}' THEN 1 ELSE 0 END) AS {s.lower()}"
+    for s in _SEGMENTS
+)
+
+_PIVOT_ORACLE = f"""
+SELECT n.n_name,
+       {_PIVOT_CASES}
+FROM nation n
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@register("agg_pivot", oracle=_PIVOT_ORACLE, tags=("agg",))
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab: customers per (nation × market segment) via
+    ``groupBy().pivot(values=...)``. Passing the value list explicitly
+    matters at scale — without it Spark runs an extra distinct scan to
+    discover pivot columns."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    piv = (
+        n.join(c, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+    )
+    # pivot emits NULL (not 0) for empty cells; align with the CASE-sum oracle
+    out = piv.select(
+        "n_name",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS],
+    )
+    return out.orderBy("n_name")
+
+
+_GROUPING_ID_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_grouping_id", oracle=_GROUPING_ID_ORACLE, tags=("agg",))
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers distinguish real NULL group keys from rollup
+    subtotal rows — required for correct cube/rollup consumers."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
+    )
