@@ -220,3 +220,113 @@ def ts_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- gap filling + forward fill -------------------------------------------------
+
+_GAPFILL_ORACLE = f"""
+WITH spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                TIMESTAMP '2024-01-02 23:59:00',
+                                INTERVAL '1 minute')) AS minute
+),
+actual AS (
+  SELECT time_bucket(INTERVAL '1 minute', ts) AS minute,
+         COUNT(*) AS n,
+         MAX(value) AS max_value
+  FROM events
+  WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+  GROUP BY 1
+)
+SELECT strftime(s.minute, '{_TS_FMT_DUCK}') AS minute,
+       COALESCE(a.n, 0) AS n_events,
+       last_value(a.max_value IGNORE NULLS)
+         OVER (ORDER BY s.minute ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS ffill_max_value
+FROM spine s LEFT JOIN actual a ON a.minute = s.minute
+"""
+
+
+@register("ts_gap_fill", oracle=_GAPFILL_ORACLE, tags=("events",))
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: a generated minute spine left-joined to
+    actual per-minute aggregates, zero-filled counts and forward-filled
+    last value — the hypertable gap-fill primitive.
+
+    The spine is `sequence()` + explode — generated distributedly, no
+    driver loop; at scale the spine generates per time-partition."""
+    e = load(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-02 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-02 23:59:00").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("minute")
+    )
+    actual = (
+        e.filter(F.col("ts").cast("date") == F.lit("2024-01-02"))
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_value"))
+    )
+    w = Window.orderBy("minute").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(actual, "minute", "left")
+        .select(
+            F.date_format("minute", _TS_FMT_SPARK).alias("minute"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("max_value", ignorenulls=True).over(w).alias("ffill_max_value"),
+        )
+    )
+
+
+# --- funnel ---------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+SELECT (SELECT COUNT(*) FROM v) AS viewed,
+       (SELECT COUNT(*) FROM c) AS clicked_after_view,
+       (SELECT COUNT(*) FROM p) AS purchased_after_click
+"""
+
+
+@register("ts_funnel", oracle=_FUNNEL_ORACLE, tags=("events",))
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: stage timestamps are chained
+    conditional minima (each stage joins the previous stage's first-event
+    time). Three small self-joins on user_id — at scale each is a shuffle
+    on the same key, so the partitioning is reused."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # stay fully lazy: one single-row DF per stage, cross-joined — no
+    # driver-side .count() at plan-build time
+    return (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+    )
