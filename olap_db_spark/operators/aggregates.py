@@ -9,6 +9,7 @@ instead of trusting two engines' interpolation to agree to the last ulp.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -293,4 +294,56 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
         .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
+    )
+
+
+# --- grouped-agg pandas UDF ---------------------------------------------------
+
+_WAVG_ORACLE = """
+SELECT o_orderpriority,
+       (CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT)) AS DOUBLE)
+        / SUM(CAST(l.l_quantity AS BIGINT))) / 100.0 AS wavg_price
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _make_wavg_udf():
+    """GROUPED_AGG pandas UDF (the aggregate-UDF surface): exact integer
+    weighted sum per group, one deterministic division at the end — the
+    same fixed-point discipline as the native aggregates, now crossing the
+    Arrow boundary. Self-contained closure (executor import rule)."""
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    # Series → scalar type hints make pandas_udf infer GROUPED_AGG.
+    # (`pd` must be a MODULE-global name: with `from __future__ import
+    # annotations` the hints are strings resolved against fn.__globals__.)
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        import numpy as _np
+
+        p = price.to_numpy() * 100.0
+        cents = (_np.floor(_np.abs(p) + 0.5) * _np.sign(p)).astype(_np.int64)
+        q = qty.to_numpy().astype(_np.int64)
+        return (int((cents * q).sum()) / int(q.sum())) / 100.0
+
+    return _pudf(wavg, "double")
+
+
+@register("agg_weighted_avg_pandas", oracle=_WAVG_ORACLE, tags=("agg", "udf"))
+def agg_weighted_avg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per priority via a GROUPED_AGG
+    pandas UDF — oracle-checked because the group partials are exact
+    integers (order/batch independent) and the final division is written
+    identically in both engines."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    wavg = _make_wavg_udf()
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(wavg(F.col("l_extendedprice"), F.col("l_quantity")).alias("wavg_price"))
+        .orderBy("o_orderpriority")
     )
