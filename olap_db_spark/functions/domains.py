@@ -1,4 +1,6 @@
-"""Domain extraction — the one genuine UDF in the whole port (SURVEY.md A26).
+"""Domain extraction — the one UDF the REFERENCE's own logic requires
+(SURVEY.md A26; the engine's north-star extensions add further UDF
+surfaces: grouped-agg, mapInPandas, stateful — see COVERAGE.md).
 
 The reference uses ``tldextract`` (public-suffix-list lookup,
 /root/reference/ranking_urls_generator.py:150-154) which is not expressible

@@ -261,7 +261,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.join(c, c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .pivot("c_mktsegment", _SEGMENTS)
-        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .agg(F.count(F.lit(1)))
     )
     # pivot emits NULL (not 0) for empty cells; align with the CASE-sum oracle
     out = piv.select(
@@ -327,7 +327,13 @@ def _make_wavg_udf():
         p = price.to_numpy() * 100.0
         cents = (_np.floor(_np.abs(p) + 0.5) * _np.sign(p)).astype(_np.int64)
         q = qty.to_numpy().astype(_np.int64)
-        return (int((cents * q).sum()) / int(q.sum())) / 100.0
+        # chunked exact accumulation: per-chunk int64 dots stay far from
+        # overflow (|row product| < 2^40, chunk 1e6 rows < 2^60), chunk
+        # sums accumulate as Python ints — exact at any group size
+        total = 0
+        for i in range(0, len(cents), 1_000_000):
+            total += int(cents[i : i + 1_000_000] @ q[i : i + 1_000_000])
+        return (total / int(q.sum())) / 100.0
 
     return _pudf(wavg, "double")
 

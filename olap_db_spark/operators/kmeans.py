@@ -82,11 +82,18 @@ def kmeans_fit_assign(
     vecs = vecs.localCheckpoint()  # cut lineage once; scanned every iter
     assigned = None
     for _ in range(iters):
-        # materialize the assignment: two aggregate branches + the final
-        # consumer would otherwise re-run the Arrow assignment UDF 3x
+        prev = assigned
+        # persist + materialize the assignment: two aggregate branches +
+        # the final consumer would otherwise re-run the Arrow assignment
+        # UDF 3x. persist() (not localCheckpoint) so the PREVIOUS
+        # iteration's copy can actually be freed — unpersist() is a no-op
+        # on checkpoint-backed frames (measured: storage grew per iter).
         assigned = vecs.withColumn(
             "cluster", _assign_udf(centroids)(F.col("qv"))
-        ).localCheckpoint()
+        ).persist()
+        assigned.count()  # materialize before dropping the previous copy
+        if prev is not None:
+            prev.unpersist()
         # update: per-cluster integer sums + counts (k×dim ints to driver)
         pos = assigned.select("cluster", F.posexplode("qv").alias("d", "v"))
         sums = (

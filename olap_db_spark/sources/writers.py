@@ -18,15 +18,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 
-def _read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read a parquet table, returning None ONLY when the path doesn't
-    exist yet. Any other failure (corrupt footer, permissions, schema
-    problems) must RAISE: swallowing it here turned "transient read
-    error" into silent data loss / duplicate ingest in earlier drafts."""
+def _read_parquet_if_exists(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame | None:
+    """Read a parquet table, returning None ONLY when it doesn't exist
+    yet: path absent, or an existing-but-empty directory (a failed first
+    write can leave one — schema inference then raises
+    UNABLE_TO_INFER_SCHEMA, which must not wedge ingest forever). Any
+    other failure (corrupt footer, permissions) RAISES: swallowing those
+    turned transient read errors into silent data loss / duplicate
+    ingest in earlier drafts. Pass ``schema`` for known tables — it also
+    skips the inference footer scan."""
+    reader = spark.read.schema(schema) if schema else spark.read
     try:
-        return spark.read.parquet(path)
+        return reader.parquet(path)
     except AnalysisException as ex:
-        if "PATH_NOT_FOUND" in str(ex):
+        if "PATH_NOT_FOUND" in str(ex) or "UNABLE_TO_INFER_SCHEMA" in str(ex):
             return None
         raise
 
@@ -66,7 +73,7 @@ def idempotent_append(
     Returns True if the batch was written, False if skipped. The log read
     is a metadata-sized scan; at 100 TB the log is a partitioned table and
     the existence probe is a partition-pruned lookup."""
-    log = _read_parquet_if_exists(spark, log_path)
+    log = _read_parquet_if_exists(spark, log_path, schema=_LOG_SCHEMA)
     already = (
         log is not None
         and log.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
@@ -110,10 +117,16 @@ def upsert_keep_latest(
     staging = path.rstrip("/") + "._staging"
     latest.write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-    # best-effort staging cleanup (local/HDFS path)
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    # staging cleanup through the Hadoop FileSystem API — works for any
+    # supported scheme (s3a://, hdfs://, file:), unlike shutil which
+    # silently no-ops on non-local URIs
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(staging)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:  # cleanup is best-effort; the merge itself is done
+        pass
 
 
 def dedup_against_existing(

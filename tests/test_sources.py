@@ -128,3 +128,13 @@ def test_upsert_keep_latest(spark, tmp_path):
     upsert_keep_latest(spark, v2, path, ["k"], "ver")
     rows2 = {r["k"]: (r["ver"], r["val"]) for r in spark.read.parquet(path).collect()}
     assert rows2 == rows
+
+
+def test_idempotent_append_survives_empty_log_dir(spark, tmp_path):
+    """An existing-but-empty log dir (failed first write) must read as
+    'no log yet', not wedge ingest with UNABLE_TO_INFER_SCHEMA."""
+    data, log = str(tmp_path / "data2"), str(tmp_path / "log2")
+    (tmp_path / "log2").mkdir()  # empty dir, no parquet files
+    df = generate_rankings(spark, 10, n_partitions=1)
+    assert idempotent_append(spark, df, data, log, "b1") is True
+    assert idempotent_append(spark, df, data, log, "b1") is False
