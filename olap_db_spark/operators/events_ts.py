@@ -330,3 +330,95 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
     )
+
+
+# --- cohort retention -------------------------------------------------------------
+
+# Weeks counted by integer day arithmetic from 2024-01-01 — tz-free and
+# identical in both engines.
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         datediff('day', DATE '2024-01-01', CAST(MIN(ts) AS DATE)) // 7 AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         datediff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7 AS active_week
+  FROM events e
+)
+SELECT f.cohort_week,
+       a.active_week - f.cohort_week AS weeks_since,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM firsts f
+JOIN activity a ON a.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("ts_cohort_retention", oracle=_COHORT_ORACLE, tags=("events",))
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    per week-offset of later activity — the event-analytics staple. Two
+    shuffles on user_id (first-seen agg + the cohort join), then a small
+    group — survives any event volume since state per user is one week
+    number."""
+    e = load(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        / F.lit(7)
+    )
+    firsts = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(
+                    F.col("first_ts").cast("date"), F.lit("2024-01-01").cast("date")
+                )
+                / F.lit(7)
+            ).alias("cohort_week"),
+        )
+    )
+    activity = e.select("user_id", week.alias("active_week")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+# --- histogram --------------------------------------------------------------------
+
+_HIST_ORACLE = """
+SELECT CAST(FLOOR(value / 20) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       MIN(value) AS bin_min,
+       MAX(value) AS bin_max
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("agg_histogram", oracle=_HIST_ORACLE, tags=("agg", "events"))
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket analog): bin index by integer
+    floor-division — one partial→final aggregate, the cheapest
+    distribution profile at any scale."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / F.lit(20)).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("bin_min"),
+            F.max("value").alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
