@@ -54,13 +54,24 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # Full per-query timings for local iteration / the judge.
+    Path(__file__).resolve().parent.joinpath("BENCH_FULL.json").write_text(
+        json.dumps({"total_sec": total, "queries": timings, "sf": _sf_of(sf_dir)})
+    )
+    # The driver captures a bounded tail of stdout (round-1 line was truncated
+    # past ~2 KB → "parsed": null), so keep the JSON line short: report the
+    # slowest 30 queries only; the total still covers all of them.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:30]
+    )
     print(
         json.dumps(
             {
-                "metric": f"total wall-clock, {len(timings)} queries, noop sink",
+                "metric": f"total wall-clock, {len(timings)} queries, noop sink"
+                f" (slowest 30 shown; full set in BENCH_FULL.json)",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "sf": _sf_of(sf_dir),
             }
         )

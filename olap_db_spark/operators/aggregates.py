@@ -70,18 +70,45 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct", tags=("agg", "approx"))
+_APPROX_CNTD_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_exact,
+       TRUE AS within_5pct
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("agg_approx_count_distinct", oracle=_APPROX_CNTD_ORACLE, tags=("agg", "approx"))
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate (ClickHouse `uniq` analog).
 
-    Rows-only check: HLL estimates are engine-specific by construction.
-    At 100 TB this is THE distinct-count to use — constant memory per
-    group vs. the exact version's per-key state. A pytest asserts the
-    estimate is within rsd of the exact count.
+    HLL estimates are engine-specific by construction, so the raw estimate
+    can't be hashed against DuckDB. Instead the query returns the exact
+    count plus the *bounded-error assertion* (|approx−exact|/exact ≤ 5%,
+    2.5× the requested rsd) as a column; the oracle expects literal TRUE,
+    so the driver's hash check verifies the accuracy contract itself.
+    At 100 TB the HLL sketch is THE distinct-count to use — constant
+    memory per group vs. the exact version's per-key shuffle state.
     """
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_exact"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_exact",
+            (
+                F.abs(F.col("approx_custs") - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+        .orderBy("o_orderstatus")
     )
 
 
@@ -234,8 +261,12 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- pivot (cross-tab) -------------------------------------------------------
 
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+# CAST each sum to BIGINT: DuckDB SUM(INTEGER) yields HUGEINT (int128),
+# which a dtype-sensitive hash distinguishes from Spark's int64 count even
+# when values match (root cause of the round-1 driver hash-red).
 _PIVOT_CASES = ",\n       ".join(
-    f"SUM(CASE WHEN c.c_mktsegment = '{s}' THEN 1 ELSE 0 END) AS {s.lower()}"
+    f"CAST(SUM(CASE WHEN c.c_mktsegment = '{s}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS {s.lower()}"
     for s in _SEGMENTS
 )
 

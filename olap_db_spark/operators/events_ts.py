@@ -192,8 +192,8 @@ def ts_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAILY_ORACLE = """
 SELECT CAST(ts AS DATE) AS day,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
        COUNT(DISTINCT user_id) AS dau
 FROM events
 GROUP BY 1
@@ -339,12 +339,12 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COHORT_ORACLE = """
 WITH firsts AS (
   SELECT user_id,
-         datediff('day', DATE '2024-01-01', CAST(MIN(ts) AS DATE)) // 7 AS cohort_week
+         CAST(FLOOR(datediff('day', DATE '2024-01-01', CAST(MIN(ts) AS DATE)) / 7.0) AS BIGINT) AS cohort_week
   FROM events GROUP BY user_id
 ),
 activity AS (
   SELECT DISTINCT e.user_id,
-         datediff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7 AS active_week
+         CAST(FLOOR(datediff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS active_week
   FROM events e
 )
 SELECT f.cohort_week,

@@ -506,75 +506,92 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_components", tags=("dedup", "northstar"))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the Jaccard pair graph
-    by iterative min-label propagation — the step that turns pairwise
-    similarity into an actionable keep/drop list (keep the component
-    representative, drop the rest).
+    via alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — the step that turns
+    pairwise similarity into an actionable keep/drop list.
 
     Iterative (no SQL oracle → rows-only; invariants in
-    tests/test_northstar.py). Scale shape: each iteration is one
-    edges⋈labels shuffle join + a min-aggregate; iterations needed =
-    component diameter, which near-dup graphs keep tiny. The driver only
-    sees the converged assignment.
+    tests/test_northstar.py). Scale shape: unlike min-label propagation
+    (round-1 design — up to 16 full edge-list shuffle joins, the slowest
+    query in BENCH_r01), star contraction REWIRES edges toward component
+    minima each round, so the edge set collapses toward stars and rounds
+    needed ≈ log(diameter). Near-dup graphs (tiny cliques) converge in
+    2–3 rounds of joins over a shrinking edge set.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # Materialize the edge list ONCE (localCheckpoint truncates lineage):
-    # without it every propagation iteration re-derives the entire
-    # Jaccard pipeline through the growing join tree — measured 60s+ at
-    # sf0.1 vs ~10s materialized. The iterative-algorithm rule: cut
-    # lineage at the loop boundary.
+    # Materialize the canonical (u < v) edge list ONCE; localCheckpoint
+    # truncates lineage so each round's work is done exactly once.
     edges = (
-        pairs.unionAll(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
         )
+        .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    changed = None
-    for _ in range(16):  # bound >> near-dup cluster diameter
-        neighbor_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("doc_b"), F.col("label").alias("nb_label")
-                ),
-                "doc_b",
-            )
-            .groupBy(F.col("doc_a").alias("node"))
-            .agg(F.min("nb_label").alias("nb_min"))
+    prev_sig = None
+    converged = False
+    for _ in range(10):  # rounds ≈ log(diameter); near-dup graphs need 2-3
+        # Large-star: each node u connects its LARGER neighbors to
+        # m = min(N(u) ∪ {u}); long chains halve every round.
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
+        mins = sym.groupBy("u").agg(F.min("v").alias("minv"))
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
             .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
-                ).alias("label"),
-                (F.col("label") != F.least(
-                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
-                )).cast("int").alias("_changed"),
+                F.col("v").alias("a"),
+                F.least(F.col("minv"), F.col("u")).alias("b"),
             )
-            .localCheckpoint()
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
         )
-        changed = new_labels.agg(F.sum("_changed")).collect()[0][0]
-        labels = new_labels.drop("_changed")
-        if not changed:
+        # Small-star: each node points its SMALLER neighbors (and itself)
+        # at their minimum — flattens shallow trees into stars.
+        d = ls.select(F.col("v").alias("big"), F.col("u").alias("small"))
+        sml = d.groupBy("big").agg(F.min("small").alias("m"))
+        e_leaves = (
+            d.join(sml, "big")
+            .where(F.col("small") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("small").alias("v"))
+        )
+        e_centers = sml.select(F.col("m").alias("u"), F.col("big").alias("v"))
+        new_edges = e_leaves.unionAll(e_centers).distinct().localCheckpoint()
+        # Fixpoint test: the edge set is literally unchanged once every
+        # component is a star rooted at its minimum. Order-independent
+        # signature = (count, XOR of per-edge hashes) — XOR can't overflow.
+        sig = tuple(
+            new_edges.agg(
+                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
+            ).collect()[0]
+        )
+        edges = new_edges
+        if sig == prev_sig:
+            converged = True
             break
-    if changed:
+        prev_sig = sig
+    if not converged:
         raise RuntimeError(
-            "dedup_components did not converge within the iteration bound; "
+            "dedup_components did not converge within the round bound; "
             "raise the bound for graphs with larger component diameters"
         )
-    return (
-        labels.select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("component"),
-            (F.col("node") == F.col("label")).cast("int").alias("is_keeper"),
+    # Converged edge set = stars (u = component min, v = member).
+    members = edges.select(
+        F.col("v").alias("doc_id"), F.col("u").alias("component")
+    )
+    centers = (
+        edges.select("u").distinct().select(
+            F.col("u").alias("doc_id"), F.col("u").alias("component")
         )
+    )
+    return members.unionAll(centers).select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).cast("int").alias("is_keeper"),
     )

@@ -139,13 +139,23 @@ def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- JSON extraction --------------------------------------------------------------
 
+# Both sides apply the SAME integer guard (engines disagree on non-integer
+# strings: DuckDB CAST('3.5' AS BIGINT) rounds, Spark cast → NULL), and the
+# SUM is CAST to BIGINT because DuckDB SUM(BIGINT) yields HUGEINT (int128) —
+# a dtype-sensitive hash flips on that even when values match (round-1 red).
 _JSON_ORACLE = """
+WITH kk AS (
+  SELECT event_type,
+         CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events
+)
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM kk
 GROUP BY event_type
 ORDER BY event_type
 """
@@ -156,7 +166,8 @@ def func_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction over the events.props payload column —
     get_json_object stays JVM-side (no Python UDF)."""
     e = load(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k_str = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(k_str.rlike("^-?[0-9]+$"), k_str.cast("long"))
     return (
         e.groupBy("event_type")
         .agg(
@@ -193,7 +204,7 @@ def func_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.split(F.trim(F.col("text")), " ")
     return d.select(
         "doc_id",
-        F.size(ws).alias("n_words"),
+        F.size(ws).cast("long").alias("n_words"),
         F.when(F.array_contains(ws, "spark"), 1).otherwise(0).alias("has_spark"),
         F.concat_ws("|", F.slice(F.array_sort(F.array_distinct(ws)), 1, 3)).alias(
             "first3_sorted"
@@ -246,7 +257,7 @@ def func_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("c_name").alias("lname"),
         F.upper("c_mktsegment").alias("useg"),
         F.substring("c_name", 1, 8).alias("name8"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.when(F.col("c_name").like("%0042%"), 1).otherwise(0).alias("has_0042"),
         F.concat(
             F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")

@@ -38,8 +38,8 @@ def _sql_hits(markers: tuple[str, ...]) -> str:
 _STATS_ORACLE = f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
-       SUM(len({_WS})) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len({_WS})) AS BIGINT) AS total_tokens,
        CAST(SUM(len({_WS})) AS DOUBLE) / COUNT(*) AS avg_tokens,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars
@@ -91,7 +91,7 @@ def text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = quality_signals(F.col("text"))
     return d.select(
         "doc_id",
-        sig["n_tokens"].alias("n_tokens"),
+        sig["n_tokens"].cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_m"),
         sig["avg_word_len"].alias("avg_word_len"),
         sig["uniq_token_ratio"].alias("uniq_token_ratio"),
@@ -138,8 +138,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_ORACLE = f"""
 SELECT source,
-       SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS total_bpe_tokens,
-       SUM(len({_WS})) AS total_ws_tokens
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(len({_WS})) AS BIGINT) AS total_ws_tokens
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -215,7 +215,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             "lang",
-            sig["n_tokens"].alias("n_tokens"),
+            sig["n_tokens"].cast("long").alias("n_tokens"),
             sig["uniq_token_ratio"].alias("uniq_ratio"),
             sig["stop_ratio_en"].alias("_stop"),
         )

@@ -44,9 +44,9 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.rank().over(w).alias("price_rank"),
-        F.dense_rank().over(w).alias("price_dense_rank"),
-        F.ntile(4).over(wt).alias("quartile"),
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
     )
 
 
@@ -81,7 +81,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         (F.sum(cents).over(w).cast("double") / F.lit(100.0)).alias("running_spend"),
-        F.row_number().over(wo).alias("order_seq"),
+        F.row_number().over(wo).cast("long").alias("order_seq"),
     )
 
 

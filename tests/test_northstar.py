@@ -83,20 +83,20 @@ def test_mm_decode_deterministic_across_partitionings(spark):
 
 
 def test_approx_count_distinct_accuracy(spark, duck):
-    """HLL estimate within 5% of exact (the rows-only scale path)."""
+    """HLL estimate within 5% of exact — the query now RETURNS the bound
+    assertion (within_5pct) plus the exact count, so it is driver-hashable."""
     from olap_db_spark.operators.aggregates import agg_approx_count_distinct
 
-    est = {
-        r["o_orderstatus"]: r["approx_custs"]
-        for r in agg_approx_count_distinct(spark, "/root/testdata/sf0.01").collect()
-    }
+    rows = agg_approx_count_distinct(spark, "/root/testdata/sf0.01").collect()
     exact = dict(
         duck.execute(
             "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) FROM orders GROUP BY 1"
         ).fetchall()
     )
-    for k, v in exact.items():
-        assert abs(est[k] - v) / v < 0.05, (k, est[k], v)
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r["n_exact"] == exact[r["o_orderstatus"]]
+        assert r["within_5pct"] is True, r
 
 
 def test_components_cluster_dup_pairs(spark):
