@@ -25,11 +25,70 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
-from ._vector import quantize
+from ._vector import quantize, sql_dot, sql_quantize
 
 _K = 16
 _ITERS = 4
 _DIM = 64
+
+
+def sql_kmeans_assign(k: int = _K, iters: int = _ITERS, dim: int = _DIM) -> str:
+    """DuckDB CTE chain computing EXACTLY ``kmeans_fit_assign``'s output.
+
+    Because every Lloyd step here is deterministic exact-integer math
+    (quantized vectors, int64 distance argmin with lowest-id tie-break,
+    floor-division integer means, md5-seeded init), the fixed ``iters``
+    iterations UNROLL into plain SQL — which makes even the k-means-routed
+    IVF search hash-checkable against an oracle. Returns a fragment of
+    CTE definitions; the final assignment relation is ``assign{iters}``
+    with columns (vec_id, qv, cluster).
+
+    Matches the Python loop shape: iteration i assigns with cent{i-1};
+    the last update is discarded (the returned assignment is made with
+    cent{iters-1}).
+    """
+    parts = [
+        f"vecs AS (SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings)",
+        "seed_ids AS (SELECT vec_id FROM vecs "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})",
+        "cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, "
+        "qv AS cv FROM vecs WHERE vec_id IN (SELECT vec_id FROM seed_ids))",
+    ]
+    for i in range(1, iters + 1):
+        # assignment: argmin of |c|^2 - 2 v.c (|v|^2 constant per row);
+        # exact int64, ties -> lowest cluster id (matches np.argmin).
+        parts.append(
+            f"""assign{i} AS (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT v.vec_id, v.qv, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {sql_dot('c.cv', 'c.cv')} - 2 * {sql_dot('v.qv', 'c.cv')},
+                      c.cluster) AS rn
+    FROM vecs v CROSS JOIN cent{i - 1} c) WHERE rn = 1)"""
+        )
+        if i == iters:
+            break
+        # update: per-cluster integer mean. FLOOR(double division) ==
+        # Python's floor '//': |sv| < 2^31, cnt < 2^11, so the quotient's
+        # distance to any non-equal integer is >= 1/cnt >> double ulp.
+        parts.append(
+            f"""mean{i} AS (
+  SELECT cluster,
+         list(CAST(FLOOR(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cv
+  FROM (SELECT cluster, d, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS cnt
+        FROM (SELECT cluster, unnest(qv) AS v,
+                     unnest(range(0, {dim})) AS d FROM assign{i}) p
+        GROUP BY cluster, d) s
+  GROUP BY cluster)"""
+        )
+        # empty clusters keep their previous centroid
+        parts.append(
+            f"""cent{i} AS (
+  SELECT p.cluster, COALESCE(m.cv, p.cv) AS cv
+  FROM cent{i - 1} p LEFT JOIN mean{i} m USING (cluster))"""
+        )
+    return ",\n".join(parts)
 
 
 def _assign_udf(centroids: list[list[int]]):

@@ -49,6 +49,24 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.6, f"ANN recall too low: {recall:.2f}"
 
 
+def test_ivf_kmeans_search_recall(spark):
+    """K-means-routed IVF (nprobe=4 of k=16) must recover ≥ 0.6 of the
+    exact brute-force top-5 — the round-2 wiring of kmeans_fit_assign
+    into sim_ivf_search (arbitrary `label` routing measured ~0.2–0.3)."""
+    from olap_db_spark.operators.similarity import sim_ivf_search
+
+    sf = "/root/testdata/sf0.01"
+    bf: dict[int, set[int]] = {}
+    for r in sim_knn_bruteforce(spark, sf).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf: dict[int, set[int]] = {}
+    for r in sim_ivf_search(spark, sf).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(bf[q] & ivf.get(q, set())) / len(bf[q]) for q in bf]
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.6, f"k-means IVF recall too low: {mean:.2f} ({recalls})"
+
+
 def test_mm_decode_deterministic_across_partitionings(spark):
     """The multimodal stub pipeline must be partitioning-invariant."""
     from olap_db_spark.operators.multimodal_ops import mm_decode_resize_stats
