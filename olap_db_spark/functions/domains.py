@@ -3,17 +3,22 @@
 surfaces: grouped-agg, mapInPandas, stateful — see COVERAGE.md).
 
 The reference uses ``tldextract`` (public-suffix-list lookup,
-/root/reference/ranking_urls_generator.py:150-154) which is not expressible
-as a regex. ``tldextract`` is not installed in this container, so the UDF is
-import-gated: with the library present it does the real PSL parse; without
-it, a deterministic two-label heuristic covers the common gTLD cases and a
-short built-in list of two-level suffixes (co.uk etc.).
+/root/reference/ranking_urls_generator.py:150-154), which is not
+expressible as a regex. This module implements the PSL algorithm
+(https://publicsuffix.org/list/) over a vendored static snapshot
+(``psl_snapshot.dat``, same format as the upstream list — a full list is a
+drop-in replacement): exact rules, ``*.`` wildcard rules, ``!`` exception
+rules, prevailing-longest-match, implicit ``*`` default. If ``tldextract``
+is importable it is preferred for bit-parity with the reference.
 
 Implemented as an Arrow-batched pandas UDF — at 100 TB this runs
-vectorized per batch, not per row.
+vectorized per batch, not per row, and the rule sets ship to executors
+by value inside the closure (no package import on workers).
 """
 
 from __future__ import annotations
+
+import os
 
 import pandas as pd
 from pyspark.sql import Column
@@ -27,33 +32,102 @@ try:  # pragma: no cover - container has no tldextract
 except Exception:  # noqa: BLE001
     _EXTRACTOR = None
 
-_TWO_LEVEL_SUFFIXES = {
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
-    "co.nz", "co.za",
-}
+_PSL_PATH = os.path.join(os.path.dirname(__file__), "psl_snapshot.dat")
+
+
+def _parse_psl(path: str = _PSL_PATH):
+    """Parse a publicsuffix.org-format file → (rules, wildcards,
+    exceptions) per section; wildcard entries store the PARENT labels
+    ('*.ck' → 'ck'), exceptions store the matched tail ('!www.ck' →
+    'www.ck')."""
+    icann = (set(), set(), set())
+    private = (set(), set(), set())
+    bucket = icann
+    with open(path, encoding="utf-8") as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line or line.startswith("//"):
+                if "BEGIN PRIVATE DOMAINS" in line:
+                    bucket = private
+                elif "BEGIN ICANN DOMAINS" in line:
+                    bucket = icann
+                continue
+            rules, wilds, excs = bucket
+            if line.startswith("!"):
+                excs.add(line[1:])
+            elif line.startswith("*."):
+                wilds.add(line[2:])
+            else:
+                rules.add(line)
+    return icann, private
+
+
+_ICANN, _PRIVATE = _parse_psl()
+
+
+def _suffix_len(labels: list[str], rules, wilds, excs) -> int:
+    """Label count of the public suffix per the PSL algorithm."""
+    n = len(labels)
+    for i in range(n):  # exception rules prevail over everything
+        if ".".join(labels[i:]) in excs:
+            return n - i - 1
+    best = 1  # implicit default rule '*'
+    for i in range(n):
+        tail = ".".join(labels[i:])
+        if tail in rules:
+            best = max(best, n - i)
+        if i + 1 < n and ".".join(labels[i + 1 :]) in wilds:
+            best = max(best, n - i)
+    return best
+
+
+def registered_domain_py(host: str | None, include_private: bool = True):
+    """Pure-Python PSL lookup (driver-side twin of the UDF; used by
+    tests). Returns None for empty hosts or hosts that ARE a public
+    suffix (e.g. 'co.uk', 'anything.ck')."""
+    if not host:
+        return None
+    labels = host.lower().rstrip(".").split(".")
+    if len(labels) < 2 or any(not x for x in labels):
+        return None
+    rules, wilds, excs = (set(), set(), set())
+    for sec in (_ICANN, _PRIVATE) if include_private else (_ICANN,):
+        rules |= sec[0]
+        wilds |= sec[1]
+        excs |= sec[2]
+    slen = _suffix_len(labels, rules, wilds, excs)
+    if len(labels) <= slen:
+        return None
+    return ".".join(labels[len(labels) - slen - 1 :])
 
 
 _UDF_CACHE: dict[str, object] = {}
 
 
-def registered_domain_udf(host: Column) -> Column:
+def registered_domain_udf(host: Column, include_private: bool = True) -> Column:
     """Arrow-batched pandas UDF (created lazily — pandas_udf needs an
     active SparkSession to parse its return type).
 
     The worker function is a SELF-CONTAINED closure: executor Python
     workers cannot import this package (driver-owned sessions run from an
     arbitrary cwd), so nothing worker-side may reference module globals —
-    only stdlib and by-value captured data (the suffix set)."""
-    if "rd" not in _UDF_CACHE:
-        two_level = frozenset(_TWO_LEVEL_SUFFIXES)
+    only stdlib and by-value captured data (the frozen rule sets)."""
+    key = f"rd:{include_private}"
+    if key not in _UDF_CACHE:
         use_tld = _EXTRACTOR is not None
+        sections = (_ICANN, _PRIVATE) if include_private else (_ICANN,)
+        rules = frozenset().union(*(s[0] for s in sections))
+        wilds = frozenset().union(*(s[1] for s in sections))
+        excs = frozenset().union(*(s[2] for s in sections))
 
         def _batch(hosts: pd.Series) -> pd.Series:
             if use_tld:  # pragma: no cover — tldextract not in container
                 import tldextract as _t
 
-                ex = _t.TLDExtract(suffix_list_urls=())
+                ex = _t.TLDExtract(
+                    suffix_list_urls=(),
+                    include_psl_private_domains=include_private,
+                )
 
                 def one(h):
                     if not h:
@@ -66,16 +140,28 @@ def registered_domain_udf(host: Column) -> Column:
                     if not h:
                         return None
                     labels = h.lower().rstrip(".").split(".")
-                    if len(labels) < 2:
+                    if len(labels) < 2 or any(not x for x in labels):
                         return None
-                    if len(labels) >= 3 and ".".join(labels[-2:]) in two_level:
-                        return ".".join(labels[-3:])
-                    return ".".join(labels[-2:])
+                    n = len(labels)
+                    for i in range(n):  # exceptions prevail
+                        if ".".join(labels[i:]) in excs:
+                            slen = n - i - 1
+                            break
+                    else:
+                        slen = 1
+                        for i in range(n):
+                            if ".".join(labels[i:]) in rules:
+                                slen = max(slen, n - i)
+                            if i + 1 < n and ".".join(labels[i + 1 :]) in wilds:
+                                slen = max(slen, n - i)
+                    if n <= slen:
+                        return None
+                    return ".".join(labels[n - slen - 1 :])
 
             return hosts.map(one)
 
-        _UDF_CACHE["rd"] = pandas_udf(_batch, "string")
-    return _UDF_CACHE["rd"](host)
+        _UDF_CACHE[key] = pandas_udf(_batch, "string")
+    return _UDF_CACHE[key](host)
 
 
 def subdomain_of(host: Column, registered: Column) -> Column:
