@@ -106,7 +106,9 @@ def jdbc_reader(
     read across executors (the scale replacement for LIMIT/OFFSET paging).
 
     Returns the configured reader (terminal ``.load()`` left to the
-    caller — no database exists in the test container)."""
+    caller). Live round-trip proven in tests/test_jdbc.py against the
+    Derby engine embedded in Spark's classpath (write → paged/pushdown
+    read → partitioned read)."""
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
