@@ -129,6 +129,58 @@ def upsert_keep_latest(
         pass
 
 
+def upsert_partition_scoped(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    partition_col: str,
+    key_cols: list[str],
+    order_col: str,
+) -> list:
+    """Partition-scoped keep-latest upsert — the `replaceWhere` analog for
+    a directory-partitioned Parquet table (the 100 TB form of
+    ``upsert_keep_latest``, which rewrites the whole sink).
+
+    Only partitions PRESENT IN ``incoming`` are read (partition-pruned
+    scan), merged (keep highest ``order_col`` per key), and atomically
+    replaced via dynamic partition overwrite; every other partition's
+    files are untouched bytes on disk (asserted by mtime+content in
+    tests/test_upsert.py). Assumes keys don't move between partitions —
+    the same contract `replaceWhere` imposes.
+
+    Returns the list of replaced partition values."""
+    from pyspark.sql.window import Window
+
+    parts = [
+        r[0] for r in incoming.select(partition_col).distinct().collect()
+    ]
+    existing = _read_parquet_if_exists(spark, path)
+    if existing is None:
+        unioned = incoming
+    else:
+        unioned = existing.filter(
+            F.col(partition_col).isin(parts)
+        ).unionByName(incoming)
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    latest = (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        # materialize + cut lineage: the overwrite below must not read
+        # from the path it replaces (self-overwrite is rejected at
+        # analysis when the plan still references the source)
+        .localCheckpoint()
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        latest.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set(conf_key, old)
+    return parts
+
+
 def dedup_against_existing(
     spark: SparkSession, incoming: DataFrame, path: str, key_cols: list[str]
 ) -> DataFrame:
