@@ -391,3 +391,174 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _K)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+# --- product quantization (PQ) ANN -----------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_DSUB = _DIM // _PQ_M  # dims per subspace
+_PQ_CODES = 16  # codes per subspace codebook
+_PQ_SHORTLIST = 50  # ADC shortlist size fed to the exact re-rank
+
+_PQ_SUBD2 = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+_PQ_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
+),
+seeds AS (SELECT vec_id FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_PQ_CODES}),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv
+  FROM q WHERE vec_id IN (SELECT vec_id FROM seeds)
+),
+ss AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+cb_sub AS (
+  SELECT cb.code, ss.s, cb.qv[ss.s * {_PQ_DSUB} + 1 : (ss.s + 1) * {_PQ_DSUB}] AS cv8
+  FROM cb CROSS JOIN ss
+),
+v_sub AS (
+  SELECT q.vec_id, ss.s, q.qv[ss.s * {_PQ_DSUB} + 1 : (ss.s + 1) * {_PQ_DSUB}] AS v8
+  FROM q CROSS JOIN ss
+),
+encoded AS (
+  SELECT vec_id, s, code FROM (
+    SELECT v.vec_id, v.s, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.s
+             ORDER BY {_PQ_SUBD2.format(a='v.v8', b='c.cv8')}, c.code) AS rn
+    FROM v_sub v JOIN cb_sub c ON c.s = v.s) t
+  WHERE rn = 1
+),
+lut AS (
+  SELECT v.vec_id AS query_id, v.s, c.code,
+         {_PQ_SUBD2.format(a='v.v8', b='c.cv8')} AS part_d2
+  FROM v_sub v JOIN cb_sub c ON c.s = v.s
+  WHERE v.vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.part_d2) AS BIGINT) AS pq_d2
+  FROM encoded e JOIN lut l ON l.s = e.s AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY pq_d2, neighbor_id) AS rn
+    FROM scored) t
+  WHERE rn <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+         CAST({_PQ_SUBD2.format(a='qq.qv', b='nq.qv')} AS BIGINT) AS l2_d2
+  FROM shortlist s
+  JOIN q qq ON qq.vec_id = s.query_id
+  JOIN q nq ON nq.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, l2_d2
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY l2_d2, neighbor_id) AS rn
+      FROM rerank) t
+WHERE rn <= {_K}
+"""
+
+
+def _pq_subd2(a, b):
+    """Exact int64 squared L2 distance between two subvectors (column expr)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@register("sim_pq_search", oracle=_PQ_ORACLE, tags=("similarity", "northstar"))
+def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the memory-bound scale path: vectors
+    compress to 8 one-byte codes (64 dims -> 8 bytes, 32x smaller) and
+    queries scan CODES via an ADC lookup table instead of raw vectors.
+
+    Codebooks are the md5-seeded deterministic sample (same seeding as
+    k-means init), one per subspace; encoding is an exact-int64 argmin
+    (ties -> lowest code), ADC distances are exact int64 sums — so the
+    whole pipeline, codebook build included, hash-checks against the
+    DuckDB oracle.
+
+    Scale shape: encode = one scan (explode to 8 subvectors, join a
+    128-row broadcast codebook, per-subspace argmin); search = codes
+    joined to a broadcast 640-row LUT + partial-agg sum, then an EXACT
+    re-rank that touches raw vectors for only the top-_PQ_SHORTLIST ADC
+    candidates per query — the standard PQ pipeline: the full-precision
+    table is read for ~10%% of rows, the code table for the rest, which
+    is the entire point of PQ at 100 TB. Recall vs exact L2 asserted
+    >= 0.6 in tests/test_northstar.py."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    # codebook: the _PQ_CODES md5-smallest vec_ids (tiny driver collect —
+    # this is index BUILD; the searched data never reaches the driver)
+    seed_ids = [
+        r["vec_id"]
+        for r in q.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h")
+        .limit(_PQ_CODES)
+        .collect()
+    ]
+    cb_rows = [
+        (code, r["qv"])
+        for code, r in enumerate(
+            q.filter(F.col("vec_id").isin(seed_ids)).orderBy("vec_id").collect()
+        )
+    ]
+    cb = spark.createDataFrame(cb_rows, "code LONG, qv ARRAY<LONG>")
+    subspaces = F.array(
+        *[F.slice("qv", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)]
+    )
+    cb_sub = cb.select("code", F.posexplode(subspaces).alias("s", "cv8"))
+    v_sub = q.select("vec_id", F.posexplode(subspaces).alias("s", "v8"))
+    w_enc = Window.partitionBy("vec_id", "s").orderBy("sub_d2", "code")
+    encoded = (
+        v_sub.join(F.broadcast(cb_sub), "s")
+        .withColumn("sub_d2", _pq_subd2(F.col("v8"), F.col("cv8")))
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    lut = (
+        v_sub.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(cb_sub), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "code",
+            _pq_subd2(F.col("v8"), F.col("cv8")).alias("part_d2"),
+        )
+    )
+    scored = (
+        encoded.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("part_d2").alias("pq_d2"))
+    )
+    # ADC shortlist -> exact re-rank (the standard PQ pipeline): raw
+    # vectors are touched only for _PQ_SHORTLIST candidates per query.
+    w_short = Window.partitionBy("query_id").orderBy("pq_d2", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qq = q.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qv_q")
+    )
+    nn = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qv_n"))
+    rerank = nn.join(
+        F.broadcast(shortlist.join(F.broadcast(qq), "query_id")), "neighbor_id"
+    ).withColumn("l2_d2", _pq_subd2(F.col("qv_q"), F.col("qv_n")))
+    w_top = Window.partitionBy("query_id").orderBy("l2_d2", "neighbor_id")
+    return (
+        rerank.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _K)
+        .select("query_id", "neighbor_id", "l2_d2")
+    )

@@ -107,6 +107,8 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal
     "mm_binary_features",
     "mm_decode_resize_stats",
+    # new in round 2 (never had a driver row)
+    "sim_pq_search",
     # round-1 green flagships (slots 39-50): keep continuous evidence
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -119,7 +121,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_range_frame",
     "page_topk_per_group",
     "setop_except_all",
-    "dedup_keep_latest",
 )
 
 

@@ -67,6 +67,38 @@ def test_ivf_kmeans_search_recall(spark):
     assert mean >= 0.6, f"k-means IVF recall too low: {mean:.2f} ({recalls})"
 
 
+def test_pq_search_recall_vs_exact_l2(spark, duck):
+    """PQ ADC shortlist (50) + exact re-rank recovers ≥ 0.6 of the exact
+    L2 top-5 (the metric PQ approximates; duck computes ground truth)."""
+    import numpy as np
+
+    from olap_db_spark.operators.similarity import sim_pq_search
+
+    sf = "/root/testdata/sf0.01"
+    rows = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    V = np.array(
+        [np.round(np.array(r[1], dtype=np.float64) * 1e6) for r in rows]
+    ).astype(np.int64)
+    got: dict[int, set[int]] = {}
+    for r in sim_pq_search(spark, sf).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = []
+    for qi in range(len(ids)):
+        if ids[qi] >= 5:
+            continue
+        qd = ((V[qi].astype(np.float64)[None, :] - V.astype(np.float64)) ** 2).sum(
+            axis=1
+        )
+        qd[qi] = np.inf
+        exact = set(ids[np.argsort(qd, kind="stable")[:5]].tolist())
+        recalls.append(len(exact & got.get(ids[qi], set())) / 5)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.6, f"PQ recall too low: {mean:.2f} ({recalls})"
+
+
 def test_mm_decode_deterministic_across_partitionings(spark):
     """The multimodal stub pipeline must be partitioning-invariant."""
     from olap_db_spark.operators.multimodal_ops import mm_decode_resize_stats
