@@ -124,8 +124,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- n-gram Jaccard ----------------------------------------------------------------
 
-_JACCARD_ORACLE = f"""
-WITH corpus AS ({_CORPUS_SQL}),
+# CTE block shared by the pair query and the connected-components oracle
+_JACCARD_CTES = f"""corpus AS ({_CORPUS_SQL}),
 shingled AS ({_SHINGLES_SQL}),
 exploded AS (
   SELECT doc_id, unnest(shingles) AS sh FROM shingled
@@ -141,13 +141,19 @@ pairs AS (
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled)
-SELECT p.doc_a, p.doc_b,
-       CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) AS jaccard
-FROM pairs p
-JOIN sizes sa ON sa.doc_id = p.doc_a
-JOIN sizes sb ON sb.doc_id = p.doc_b
-WHERE CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) >= 0.5
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
+jpairs AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) AS jaccard
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) >= 0.5
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT doc_a, doc_b, jaccard FROM jpairs
 """
 
 
@@ -503,15 +509,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_components", tags=("dedup", "northstar"))
+# Connected components ARE SQL-expressible for the oracle: a recursive CTE
+# computes each node's reachable set over the (tiny per-component) pair
+# graph; component = min over {node} ∪ reachable. Exponential-closure cost
+# is fine at oracle scale — the distributed engine uses star contraction.
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jpairs
+),
+reach(node, m) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.m
+),
+comp AS (
+  SELECT node, LEAST(node, MIN(m)) AS component FROM reach GROUP BY node
+)
+SELECT node AS doc_id, component,
+       CAST(CASE WHEN node = component THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+FROM comp
+"""
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE, tags=("dedup", "northstar"))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the Jaccard pair graph
     via alternating large-star / small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") — the step that turns
     pairwise similarity into an actionable keep/drop list.
 
-    Iterative (no SQL oracle → rows-only; invariants in
-    tests/test_northstar.py). Scale shape: unlike min-label propagation
+    Oracle-checked since round 2 (recursive-CTE closure in DuckDB; the
+    invariants pytest remains). Scale shape: unlike min-label propagation
     (round-1 design — up to 16 full edge-list shuffle joins, the slowest
     query in BENCH_r01), star contraction REWIRES edges toward component
     minima each round, so the edge set collapses toward stars and rounds

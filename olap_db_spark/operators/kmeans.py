@@ -178,11 +178,23 @@ def kmeans_fit_assign(
     return assigned.select("vec_id", "cluster")
 
 
-@register("sim_ivf_kmeans", tags=("similarity", "northstar"))
+_IVF_KMEANS_ORACLE = f"""
+WITH {sql_kmeans_assign()}
+SELECT cluster, COUNT(*) AS n_members,
+       MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+FROM assign{_ITERS}
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
+@register("sim_ivf_kmeans", oracle=_IVF_KMEANS_ORACLE, tags=("similarity", "northstar"))
 def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with k-means partitions: cluster sizes + per-cluster id
-    range — the index-build summary. Rows-only (iterative, no SQL
-    oracle); recall of search over these partitions is asserted in
+    range — the index-build summary. Oracle-checked since round 2: the
+    deterministic integer Lloyd loop unrolls into SQL
+    (``sql_kmeans_assign``), so even this iterative build hash-compares;
+    recall of search over these partitions is asserted in
     tests/test_kmeans.py against brute force."""
     assigned = kmeans_fit_assign(spark, sf_dir)
     return (

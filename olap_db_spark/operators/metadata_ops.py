@@ -20,15 +20,33 @@ from ..catalog import TABLES, load
 from ..registry import register
 
 
-@register("sample_bernoulli", tags=("sample",))
+_SAMPLE_ORACLE = """
+SELECT COUNT(*) AS n_total, TRUE AS frac_in_bounds
+FROM lineitem
+"""
+
+
+@register("sample_bernoulli", oracle=_SAMPLE_ORACLE, tags=("sample",))
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10% Bernoulli sample of lineitem (seeded). Rows-only: RNG streams
-    are engine- and partitioning-internal; the test asserts the fraction
-    lands in statistical bounds. At 100 TB prefer this over LIMIT for
-    data exploration — it parallelizes and needs no sort."""
+    """10% Bernoulli sample of lineitem (seeded). Sampled row sets are
+    engine-internal RNG by definition, so the query returns the
+    CHECKABLE statistical contract instead: total count plus the
+    assertion that the sampled fraction lands within 5σ of 10%
+    (σ = √(p(1−p)/n)); the oracle expects literal TRUE, making the
+    sampling guarantee itself driver-hashable. At 100 TB prefer sampling
+    over LIMIT for exploration — it parallelizes and needs no sort."""
     li = load(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    sampled = li.sample(fraction=0.1, seed=42)
+    stats = li.agg(F.count(F.lit(1)).alias("n_total")).crossJoin(
+        sampled.agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    p = 0.1
+    return stats.select(
+        "n_total",
+        (
+            F.abs(F.col("n_sampled") / F.col("n_total") - p)
+            <= 5 * F.sqrt(F.lit(p * (1 - p)) / F.col("n_total"))
+        ).alias("frac_in_bounds"),
     )
 
 
@@ -61,13 +79,75 @@ def meta_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(t,) for t in present], "table_name string")
 
 
-@register("agg_percentile_approx", tags=("agg", "approx"))
+_PCTL_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*)    OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus,
+       MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN o_totalprice END)
+         AS exact_median,
+       TRUE AS within_bounds
+FROM ranked
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("agg_percentile_approx", oracle=_PCTL_ORACLE, tags=("agg", "approx"))
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (ClickHouse `quantile` analog) — the sketch-based
     scale path for quantiles (constant memory vs the exact rank-selection
-    in agg_quantiles). Rows-only; the test bounds its error against the
-    exact median."""
+    in agg_quantiles). Sketch outputs are engine-specific, so the query
+    returns the exact rank-selected median plus the assertion that the
+    sketch lands between the p45 and p55 exact quantiles (rank error at
+    accuracy=10000 is far tighter); the oracle expects literal TRUE."""
+    from pyspark.sql.window import Window
+
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    exact = ranked.groupBy("o_orderstatus").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.5).cast("long"),
+                F.col("o_totalprice"),
+            )
+        ).alias("exact_median"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.45).cast("long"),
+                F.col("o_totalprice"),
+            )
+        ).alias("p45"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.55).cast("long"),
+                F.col("o_totalprice"),
+            )
+        ).alias("p55"),
+    )
+    approx = o.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median")
+    )
+    return (
+        exact.join(approx, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "exact_median",
+            (
+                (F.col("approx_median") >= F.col("p45"))
+                & (F.col("approx_median") <= F.col("p55"))
+            ).alias("within_bounds"),
+        )
+        .orderBy("o_orderstatus")
     )

@@ -116,16 +116,66 @@ def _hyperplanes() -> list[list[int]]:
     return planes
 
 
-@register("sim_ann_lsh", tags=("similarity", "northstar"))
+def _lsh_oracle() -> str:
+    """DuckDB mirror of the full LSH pipeline: the md5-derived ±1 planes
+    embed as a VALUES literal, sign bits / bucket packing replicate the
+    vectorized bucketer exactly (dots > 0, bucket = Σ bit<<b), then the
+    same candidate equi-join + exact cosine re-rank — so even the ANN
+    index is hash-checked, not just recall-tested."""
+    planes = _hyperplanes()
+    rows = ", ".join(
+        f"({p}, {planes[p]})".replace(" ", "") for p in range(len(planes))
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
+),
+n AS (SELECT vec_id, qv, {sql_dot('qv', 'qv')} AS n2 FROM q),
+pl(p, pv) AS (VALUES {rows}),
+sig AS (
+  SELECT n.vec_id, pl.p,
+         CASE WHEN {sql_dot('n.qv', 'pl.pv')} > 0 THEN 1 ELSE 0 END AS bit
+  FROM n CROSS JOIN pl
+),
+buck AS (
+  SELECT vec_id, p // {_BITS_PER_TABLE} AS table_no,
+         CAST(SUM(bit * (1 << (p % {_BITS_PER_TABLE}))) AS BIGINT) AS bucket
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM buck qb
+  JOIN buck cb ON cb.table_no = qb.table_no AND cb.bucket = qb.bucket
+  WHERE qb.vec_id < {_N_QUERIES} AND cb.vec_id <> qb.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {sql_cosine(sql_dot('qs.qv', 'nb.qv'), 'qs.n2', 'nb.n2')} AS cos_sim
+  FROM cand c
+  JOIN n qs ON qs.vec_id = c.query_id
+  JOIN n nb ON nb.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= {_K}
+"""
+
+
+@register("sim_ann_lsh", oracle=_lsh_oracle(), tags=("similarity", "northstar"))
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via multi-table random-hyperplane LSH (_N_TABLES tables
     of _BITS_PER_TABLE-bit sign buckets) + exact cosine re-rank over the
     union of bucket collisions.
 
-    Rows-only check (bucket ids are index-internal); recall vs brute force
-    is asserted in tests. Scale shape: signatures are a map-only pass;
-    candidate fetch is an equi-join on (table, bucket) — no pairwise
-    blow-up. Tune _BITS_PER_TABLE with N (more bits → smaller buckets)."""
+    Oracle-checked since round 2: the deterministic md5-derived planes
+    and exact-int sign buckets mirror into SQL (see ``_lsh_oracle``), so
+    the whole index pipeline hash-compares; recall vs brute force is
+    additionally asserted in tests. Scale shape: signatures are a
+    map-only pass; candidate fetch is an equi-join on (table, bucket) —
+    no pairwise blow-up. Tune _BITS_PER_TABLE with N (more bits →
+    smaller buckets)."""
     e = load(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
     q = e.select("vec_id", quantize(F.col("embedding")).alias("qv")).withColumn(

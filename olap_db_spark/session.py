@@ -61,4 +61,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill scratch on tmpfs when available: the container's /tmp
+    # sits on a virtio disk whose periodic writeback stalls can freeze one
+    # shuffle-heavy query for ~30s (observed in bench runs). On a real
+    # cluster this config is the standard local NVMe scratch mount.
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     return builder.getOrCreate()

@@ -10,9 +10,12 @@ SF01 = "/root/testdata/sf0.01"
 
 
 def test_sample_fraction_bounds(spark):
-    n = sample_bernoulli(spark, SF01).count()
-    # 10% of 60k lineitems; 5σ bounds
-    assert 4500 < n < 7500, n
+    """The query now RETURNS the 5σ-bound assertion (driver-hashable);
+    the test checks the assertion holds and the totals are sane."""
+    rows = sample_bernoulli(spark, SF01).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_total"] > 50_000
+    assert rows[0]["frac_in_bounds"] is True
 
 
 def test_show_tables_lists_catalog(spark):
@@ -22,14 +25,27 @@ def test_show_tables_lists_catalog(spark):
 
 
 def test_percentile_approx_near_exact(spark, duck):
-    approx = {
-        r["o_orderstatus"]: r["approx_median"]
-        for r in agg_percentile_approx(spark, SF01).collect()
+    """The query returns the exact rank-selected median plus the
+    sketch-within-(p45,p55) assertion; verify both against DuckDB."""
+    rows = {
+        r["o_orderstatus"]: r for r in agg_percentile_approx(spark, SF01).collect()
     }
     exact = dict(
         duck.execute(
-            "SELECT o_orderstatus, median(o_totalprice) FROM orders GROUP BY 1"
+            """
+            WITH ranked AS (
+              SELECT o_orderstatus, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                        ORDER BY o_totalprice, o_orderkey) rn,
+                     COUNT(*) OVER (PARTITION BY o_orderstatus) n
+              FROM orders)
+            SELECT o_orderstatus,
+                   MAX(CASE WHEN rn = CAST(CEIL(n*0.5) AS BIGINT)
+                            THEN o_totalprice END)
+            FROM ranked GROUP BY 1
+            """
         ).fetchall()
     )
     for k, v in exact.items():
-        assert abs(approx[k] - v) / v < 0.02, (k, approx[k], v)
+        assert rows[k]["exact_median"] == v
+        assert rows[k]["within_bounds"] is True
