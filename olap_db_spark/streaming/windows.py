@@ -89,6 +89,50 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_click_attribution(events: DataFrame) -> DataFrame:
+    """STREAM-STREAM interval self-join: each purchase joined to the same
+    user's clicks from the preceding hour — the attribution primitive.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire join state (clicks older than
+    purchase_ts − 1h are dropped): state stays O(1 hour of events per
+    user) no matter how long the stream runs — the requirement for a
+    stream-stream join to survive at 100 TB/day."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "c_user_id = user_id AND "
+            "click_ts <= purchase_ts AND "
+            "click_ts >= purchase_ts - INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        "click_id",
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+    )
+
+
 def run_available_now(sdf: DataFrame, query_name: str, output_mode: str) -> list:
     """Execute a bounded replay into the in-memory sink and return rows.
     (Tests/dev harness — production jobs point writeStream at Parquet/Kafka
