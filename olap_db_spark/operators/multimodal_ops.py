@@ -149,6 +149,150 @@ def _make_decode_stub(has_pil: bool):
     return decode
 
 
+# --- REAL image decode (BMP — no external libs needed) -------------------------
+
+_BMP_W, _BMP_H = 18, 12  # w*3 = 54 → 2 pad bytes per row (exercises padding)
+
+
+def _make_bmp_synth():
+    """Pandas UDF factory: doc_id → real 24bpp BMP bytes (deterministic
+    gradient pixels lum(x,y) = (doc_id*31 + 7x + 13y) mod 256). BMP rows
+    are stored BOTTOM-UP with 4-byte padding — both quirks deliberately
+    exercised so the decoder has something real to get wrong.
+    Self-contained closure (executor import rule)."""
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    w, h = _BMP_W, _BMP_H
+
+    def synth(doc_ids):
+        import struct as _struct
+
+        import pandas as _pd
+
+        row_bytes = (w * 3 + 3) // 4 * 4
+        img_size = row_bytes * h
+        off = 14 + 40
+
+        def one(doc_id):
+            header = b"BM" + _struct.pack("<IHHI", off + img_size, 0, 0, off)
+            info = _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+            )
+            out = [header, info]
+            for yy in range(h):  # bottom-up storage
+                y = h - 1 - yy
+                row = bytearray()
+                for x in range(w):
+                    lum = (doc_id * 31 + x * 7 + y * 13) % 256
+                    row += bytes((lum, lum, lum))
+                row += b"\x00" * (row_bytes - len(row))
+                out.append(bytes(row))
+            return b"".join(out)
+
+        return _pd.Series([one(int(d)) for d in doc_ids])
+
+    return _pudf(synth, "binary")
+
+
+_BMP_STATS_SCHEMA = (
+    "doc_id LONG, width LONG, height LONG, lum_mean DOUBLE, "
+    "lum_min LONG, lum_max LONG, tl_mean DOUBLE"
+)
+
+
+def _make_bmp_decoder():
+    """REAL decoder as a mapInPandas closure: parses the BMP file +
+    DIB headers with struct, slices pixel rows out with numpy (honoring
+    row padding), flips the bottom-up row order, and reduces to stats.
+    No image library involved — this is the actual bytes-to-pixels path."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def one(buf: bytes):
+            assert buf[:2] == b"BM", "not a BMP"
+            (off,) = _struct.unpack_from("<I", buf, 10)
+            hdr_sz, w, h, _planes, bpp = _struct.unpack_from("<IiiHH", buf, 14)
+            assert hdr_sz == 40 and bpp == 24, (hdr_sz, bpp)
+            bottom_up = h > 0
+            h = abs(h)
+            row_bytes = (w * 3 + 3) // 4 * 4
+            px = _np.frombuffer(buf, dtype=_np.uint8, count=row_bytes * h, offset=off)
+            px = px.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+            if bottom_up:
+                px = px[::-1]
+            lum = px[:, :, 0].astype(_np.int64)  # grayscale: B==G==R
+            tl = lum[: h // 2, : w // 2]
+            return (
+                w,
+                h,
+                float(int(lum.sum())) / (w * h),
+                int(lum.min()),
+                int(lum.max()),
+                float(int(tl.sum())) / tl.size,
+            )
+
+        for pdf in batches:
+            stats = [one(bytes(b)) for b in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": [s[0] for s in stats],
+                    "height": [s[1] for s in stats],
+                    "lum_mean": [s[2] for s in stats],
+                    "lum_min": [s[3] for s in stats],
+                    "lum_max": [s[4] for s in stats],
+                    "tl_mean": [s[5] for s in stats],
+                }
+            )
+
+    return decode
+
+
+# The oracle never sees the BMP bytes: it recomputes the same stats from
+# the pixel FORMULA over (x, y) ranges. A decoder bug (padding, row order,
+# channel offset, header math) breaks the hash — the decode itself is
+# what's being verified.
+_BMP_ORACLE = f"""
+WITH px AS (
+  SELECT d.doc_id, x.range AS x, y.range AS y,
+         (d.doc_id * 31 + x.range * 7 + y.range * 13) % 256 AS lum
+  FROM documents d, range(0, {_BMP_W}) x, range(0, {_BMP_H}) y
+)
+SELECT doc_id,
+       CAST({_BMP_W} AS BIGINT) AS width,
+       CAST({_BMP_H} AS BIGINT) AS height,
+       CAST(SUM(lum) AS DOUBLE) / ({_BMP_W} * {_BMP_H}) AS lum_mean,
+       MIN(lum) AS lum_min,
+       MAX(lum) AS lum_max,
+       CAST(SUM(CASE WHEN x < {_BMP_W // 2} AND y < {_BMP_H // 2}
+                     THEN lum END) AS DOUBLE)
+         / ({(_BMP_W // 2) * (_BMP_H // 2)}) AS tl_mean
+FROM px
+GROUP BY doc_id
+"""
+
+
+@register("mm_real_decode_stats", oracle=_BMP_ORACLE, tags=("multimodal", "northstar"))
+def mm_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real image pipeline: synthesize genuine 24bpp BMP bytes
+    per document (bottom-up rows, 4-byte padding), DECODE them for real
+    (struct header parse + numpy pixel slicing — no PIL), reduce to
+    luminance stats. Oracle-checked against the closed-form pixel formula,
+    so a decoder bug (padding, row order, header offsets) fails the hash.
+
+    Scale shape: both synth and decode are Arrow-batched map-only passes —
+    constant memory per task, no shuffle until the final (tiny) stats."""
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _make_bmp_synth()(F.col("doc_id")).alias("payload")
+    )
+    return payloads.mapInPandas(_make_bmp_decoder(), schema=_BMP_STATS_SCHEMA)
+
+
 @register("mm_decode_resize_stats", tags=("multimodal", "northstar"))
 def mm_decode_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → 'resize' bucket → aggregate: the full multimodal pipeline

@@ -109,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_decode_resize_stats",
     # new in round 2 (never had a driver row)
     "sim_pq_search",
+    "mm_real_decode_stats",
     # round-1 green flagships (slots 39-50): keep continuous evidence
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -120,7 +121,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_weighted_avg_pandas",
     "window_range_frame",
     "page_topk_per_group",
-    "setop_except_all",
 )
 
 

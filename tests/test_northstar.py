@@ -99,6 +99,42 @@ def test_pq_search_recall_vs_exact_l2(spark, duck):
     assert mean >= 0.6, f"PQ recall too low: {mean:.2f} ({recalls})"
 
 
+def test_mm_real_bmp_decode_roundtrip(spark):
+    """The BMP decoder parses REAL bytes: known doc → exact pixel stats;
+    and the payload is a structurally valid BMP (magic, size, offset)."""
+    import struct
+
+    from olap_db_spark.operators.multimodal_ops import (
+        _BMP_H,
+        _BMP_W,
+        _make_bmp_synth,
+        mm_real_decode_stats,
+    )
+    from pyspark.sql import functions as F
+
+    row = (
+        mm_real_decode_stats(spark, SF).filter(F.col("doc_id") == 7).collect()[0]
+    )
+    lums = [
+        (7 * 31 + x * 7 + y * 13) % 256
+        for x in range(_BMP_W)
+        for y in range(_BMP_H)
+    ]
+    assert (row["width"], row["height"]) == (_BMP_W, _BMP_H)
+    assert row["lum_min"] == min(lums) and row["lum_max"] == max(lums)
+    assert abs(row["lum_mean"] - sum(lums) / len(lums)) < 1e-12
+    # structural validity of the synthesized payload
+    buf = bytes(
+        spark.range(7, 8)
+        .select(_make_bmp_synth()(F.col("id")).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert buf[:2] == b"BM"
+    (size,) = struct.unpack_from("<I", buf, 2)
+    (off,) = struct.unpack_from("<I", buf, 10)
+    assert size == len(buf) and off == 54
+
+
 def test_mm_decode_deterministic_across_partitionings(spark):
     """The multimodal stub pipeline must be partitioning-invariant."""
     from olap_db_spark.operators.multimodal_ops import mm_decode_resize_stats
