@@ -82,3 +82,36 @@ def test_post_body_query(server):
     )
     body = urllib.request.urlopen(req, timeout=60).read().decode()
     assert body.strip() == "25"
+
+
+def test_ddl_dml_over_the_wire(server):
+    """The reference's clients also CREATE and INSERT over the wire
+    (ClickHouse HTTP accepts DDL/DML POSTs); the endpoint passes DDL/DML
+    through the engine's SQL surface."""
+    import urllib.parse
+    import urllib.request
+
+    def post(sql: str) -> str:
+        req = urllib.request.Request(
+            f"http://{server.host}:{server.port}/",
+            data=sql.encode(),
+            method="POST",
+        )
+        return urllib.request.urlopen(req, timeout=120).read().decode()
+
+    post("DROP TABLE IF EXISTS wire_sink")
+    post("CREATE TABLE wire_sink (k INT, v STRING) USING parquet")
+    try:
+        post("INSERT INTO wire_sink VALUES (1, 'a'), (2, 'b')")
+        post(
+            "INSERT INTO wire_sink "
+            "SELECT CAST(n_nationkey AS INT), n_name FROM nation "
+            "WHERE n_nationkey < 3"
+        )
+        q = urllib.parse.quote("SELECT COUNT(*) AS n FROM wire_sink")
+        body = urllib.request.urlopen(
+            f"http://{server.host}:{server.port}/?query={q}", timeout=120
+        ).read().decode()
+        assert body.strip() == "5"
+    finally:
+        post("DROP TABLE IF EXISTS wire_sink")
