@@ -226,3 +226,126 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_stop")
     )
+
+
+# --- sequence packing (training-batch binning) ----------------------------------
+
+_PACK_BUDGET = 4096  # tokens per training bin
+_PACK_BUCKET = 100  # doc_ids per cumsum partition
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_WS}) AS BIGINT) AS n_tokens FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tokens_before
+  FROM toks
+)
+SELECT doc_id, n_tokens, tokens_before,
+       CAST(tokens_before // {_PACK_BUDGET} AS BIGINT) AS bin_id
+FROM cum
+"""
+
+
+@register("text_pack_sequences", oracle=_PACK_ORACLE, tags=("text",))
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING: assign documents (in doc_id order) to fixed
+    token-budget training bins — the batch-construction step of an LLM
+    data pipeline.
+
+    The global running token count is computed PARTITION-SAFELY (the
+    oracle's single global window would run in one task at 100 TB): local
+    cumsums within doc_id buckets in parallel, then a tiny one-row-per-
+    bucket offset table (cumsum over #buckets rows) broadcast back — the
+    same two-level shape as the gap-fill carry join."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / _PACK_BUCKET).cast("long").alias("bucket"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = toks.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        toks.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .withColumn(
+            "bucket_before",
+            F.coalesce(F.sum("bucket_total").over(w_buckets), F.lit(0)),
+        )
+        .select("bucket", "bucket_before")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("local_before") + F.col("bucket_before")).alias(
+                "tokens_before"
+            ),
+            (
+                (F.col("local_before") + F.col("bucket_before"))
+                / F.lit(_PACK_BUDGET)
+            )
+            .cast("long")
+            .alias("bin_id"),
+        )
+    )
+
+
+# --- stratified sampling ---------------------------------------------------------
+
+_STRAT_ORACLE = """
+SELECT lang, COUNT(*) AS n_total, TRUE AS frac_in_bounds
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+_STRAT_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1}
+
+
+@register("sample_stratified", oracle=_STRAT_ORACLE, tags=("sample",))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy`` — the rebalancing step
+    of corpus construction: downsample over-represented languages).
+    Sampled row sets are RNG-internal, so the query returns the checkable
+    contract: per-language totals plus the assertion that each stratum's
+    sampled fraction lands within 5σ of its target."""
+    d = load(spark, sf_dir, "documents")
+    sampled = d.sampleBy("lang", _STRAT_FRACTIONS, seed=42)
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    got = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    frac = F.create_map(
+        *[F.lit(x) for kv in _STRAT_FRACTIONS.items() for x in kv]
+    )
+    p = frac[F.col("lang")]
+    return (
+        totals.join(got, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            (
+                F.abs(
+                    F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_total")
+                    - p
+                )
+                <= 5 * F.sqrt(p * (1 - p) / F.col("n_total"))
+            ).alias("frac_in_bounds"),
+        )
+        .orderBy("lang")
+    )

@@ -110,6 +110,8 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 2 (never had a driver row)
     "sim_pq_search",
     "mm_real_decode_stats",
+    "text_pack_sequences",
+    "sample_stratified",
     # round-1 green flagships (slots 39-50): keep continuous evidence
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -119,8 +121,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_inner_chain",
     "join_nonequi_band",
     "agg_weighted_avg_pandas",
-    "window_range_frame",
-    "page_topk_per_group",
 )
 
 

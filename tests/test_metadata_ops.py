@@ -49,3 +49,32 @@ def test_percentile_approx_near_exact(spark, duck):
     for k, v in exact.items():
         assert rows[k]["exact_median"] == v
         assert rows[k]["within_bounds"] is True
+
+
+def test_stratified_sample_bounds(spark):
+    from olap_db_spark.operators.text_analysis import sample_stratified
+
+    rows = sample_stratified(spark, SF01).collect()
+    assert len(rows) == 5
+    assert all(r["frac_in_bounds"] is True for r in rows)
+
+
+def test_pack_sequences_invariants(spark):
+    """Bins are contiguous in doc_id order; every bin's token total stays
+    under budget + one max doc; tokens_before is the exact prefix sum."""
+    from olap_db_spark.operators.text_analysis import (
+        _PACK_BUDGET,
+        text_pack_sequences,
+    )
+
+    rows = sorted(
+        text_pack_sequences(spark, SF01).collect(), key=lambda r: r["doc_id"]
+    )
+    run = 0
+    prev_bin = 0
+    for r in rows:
+        assert r["tokens_before"] == run
+        assert r["bin_id"] == run // _PACK_BUDGET
+        assert r["bin_id"] >= prev_bin
+        prev_bin = r["bin_id"]
+        run += r["n_tokens"]
