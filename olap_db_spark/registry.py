@@ -58,9 +58,11 @@ _LOADED = False
 # entries of ``queries()`` in registration order, so ordering controls which
 # queries earn a CORRECTNESS row each round. Names listed here come first (in
 # this order); everything else follows in registration order. Round 2 front-
-# loads the 35 queries with no round-1 row plus the 3 non-green rows
-# (agg_pivot / func_json_extract hash-red, agg_approx_count_distinct
-# no-oracle), then the flagship relational queries.
+# loads the 35 queries with no round-1 row, the 3 non-green rows (agg_pivot /
+# func_json_extract hash-red, agg_approx_count_distinct no-oracle), and the
+# four operators ADDED in round 2 (PQ search, real BMP decode, sequence
+# packing, stratified sampling); the remaining slots re-run round-1-green
+# flagships. Queries past slot 50 all have green round-1 driver rows.
 _PRIORITY: tuple[str, ...] = (
     # round-1 non-green rows (fixed this round — must re-earn a row)
     "agg_pivot",
