@@ -25,6 +25,7 @@ from ..registry import register
 from ._determinism import (
     fixed_avg,
     fixed_sum,
+    scaled_long_sum,
     sql_fixed_avg,
     sql_fixed_sum,
 )
@@ -222,3 +223,137 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q17_ORACLE)
+
+
+_Q6_ORACLE = f"""
+SELECT {sql_fixed_sum('l_extendedprice * l_discount', 10000)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE, tags=("agg", "flagship"))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue: the pure scan→filter→agg shape.
+    Every predicate is on scan columns (all push into the parquet reader;
+    at 100 TB with date partitioning the year range prunes partitions) and
+    the aggregate is a map-side-combined global sum — the cheapest query
+    plan Spark can produce."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            fixed_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 10000
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# The two fixed-point scales cancel in the ratio, so both sides compute
+# 100.0 * S1 / S2 over the raw scaled-integer sums — one multiply and one
+# divide, in identical left-associative order.
+_PROMO_CASE = (
+    "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+    "ELSE 0 END"
+)
+_Q14_ORACLE = f"""
+SELECT
+  100.0 * CAST(SUM(CAST(ROUND(({_PROMO_CASE}) * 10000, 0) AS BIGINT)) AS DOUBLE)
+        / CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                        AS BIGINT)) AS DOUBLE) AS promo_pct,
+  COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) <  DATE '1996-07-01'
+"""
+
+
+@register("q14_promo_revenue", oracle=_Q14_ORACLE, tags=("agg", "flagship"))
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue share: fact⋈dim with conditional
+    aggregation. `part` broadcasts (below threshold); the date filter
+    pushes into the lineitem scan so the join sees six months, not the
+    table. Both engines compute the identical fixed-point ratio."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-07-01"))
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * scaled_long_sum(promo, 10000).cast("double")
+                / scaled_long_sum(disc_price, 10000).cast("double")
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT {sql_fixed_sum('l_extendedprice * (1 - l_discount)', 10000)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_brand_band_revenue", oracle=_Q19_ORACLE, tags=("agg", "flagship"))
+def q19_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate join: three OR'd
+    (brand, size, quantity-band) arms — the classic case where the
+    optimizer must keep the equi-join key (partkey) OUT of the
+    disjunction so the join stays a broadcast hash join with the OR as a
+    post-join filter, not a nested-loop over the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arm)
+        .agg(
+            fixed_sum(disc_price, 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -114,15 +114,15 @@ _PRIORITY: tuple[str, ...] = (
     "mm_real_decode_stats",
     "text_pack_sequences",
     "sample_stratified",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q19_brand_band_revenue",
     # round-1 green flagships (slots 39-50): keep continuous evidence
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_local_supplier_volume",
     "q4_priority_exists",
     "q17_small_qty_revenue",
-    "join_inner_chain",
-    "join_nonequi_band",
-    "agg_weighted_avg_pandas",
 )
 
 
