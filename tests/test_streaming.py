@@ -133,3 +133,35 @@ def test_stream_stream_join_equals_batch(spark, events_stream_dir):
     # emitted must be correct and coverage must be near-complete
     assert got <= want
     assert len(got) >= len(want) - 20
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Checkpointed source offsets survive restart: re-running the same
+    query over the same checkpoint reprocesses NOTHING; only genuinely
+    new input files produce new sink rows — the exactly-once contract a
+    production streaming job relies on."""
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "a.parquet")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            stream_events(spark, str(src))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 > 0
+    run_once()  # restart, no new input: nothing reprocessed
+    assert spark.read.parquet(sink).count() == n1
+    shutil.copy(f"{SF}/events.parquet", src / "b.parquet")  # new file arrives
+    run_once()  # restart picks up exactly the new file
+    assert spark.read.parquet(sink).count() == 2 * n1
