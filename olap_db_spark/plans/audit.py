@@ -58,7 +58,29 @@ _FLAGSHIP_CHECKS = {
     # the neighbor!=query condition is non-equi → broadcast nested loop
     # over the (tiny) query side; the vector table still never shuffles
     "sim_knn_bruteforce": [("broadcast queries", "BroadcastNestedLoopJoin")],
+    # round-2 operators' plan promises
+    "q6_forecast_revenue": [
+        ("filter pushdown", "PushedFilters: ["),
+        ("partial aggregation", "partial_"),
+    ],
+    "q14_promo_revenue": [("dim broadcast", "BroadcastHashJoin")],
+    "q19_brand_band_revenue": [
+        # the disjunction must NOT demote the equi-join to a nested loop
+        ("hash join despite OR arms", "BroadcastHashJoin"),
+    ],
+    "sim_pq_search": [("broadcast codebook/LUT", "BroadcastHashJoin")],
 }
+
+
+def _no_global_window_over(df: DataFrame, partition_col: str) -> bool:
+    """True iff every unpartitioned Window in the plan is the intended
+    tiny per-``partition_col`` table (heuristic: plans are OK when each
+    Window line either mentions the partition column in its spec or is
+    an unpartitioned window over the aggregated bucket relation)."""
+    lines = [l for l in plan_string(df).splitlines() if "Window [" in l]
+    # exactly the local (partitioned) window + the tiny carry window
+    unpartitioned = [l for l in lines if f"windowspecdefinition({partition_col}" not in l]
+    return len(lines) >= 1 and len(unpartitioned) <= 1
 
 
 def main() -> None:
@@ -81,6 +103,13 @@ def main() -> None:
             ok = needle in plan
             bad += 0 if ok else 1
             print(f"{name}: {label}: {'OK' if ok else 'MISSING'}")
+    # partition-safe global-order operators: the heavy window must be
+    # bucket-partitioned; at most one unpartitioned window (the tiny
+    # per-bucket carry/offset table) may remain
+    for name in ("ts_gap_fill", "text_pack_sequences"):
+        ok = _no_global_window_over(qs[name].fn(spark, sf), "bucket")
+        bad += 0 if ok else 1
+        print(f"{name}: no global window over the data: {'OK' if ok else 'MISSING'}")
     print("AUDIT", "PASS" if bad == 0 else f"FAIL ({bad} missing)")
 
 
