@@ -93,9 +93,13 @@ def _shingled(corpus: DataFrame) -> DataFrame:
         )
         .filter(F.col("_w2").isNotNull())
         .select("doc_id", "sh")
-        .distinct()
     )
-    return exploded.groupBy("doc_id").agg(F.collect_list("sh").alias("shingles"))
+    # collect_set dedups inside ONE aggregate that reuses the window's
+    # doc_id partitioning (no exchange) — vs the previous distinct +
+    # collect_list, which paid an extra (doc_id, sh) shuffle. Every
+    # consumer treats `shingles` as a set (size / explode /
+    # array_intersect), so element order is immaterial.
+    return exploded.groupBy("doc_id").agg(F.collect_set("sh").alias("shingles"))
 
 
 # --- exact dedup -----------------------------------------------------------------
