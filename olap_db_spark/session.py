@@ -59,6 +59,15 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         # Local-mode driver heap is set by the launcher; harmless on cluster.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Commit the whole heap at JVM start: lazily-committed heap growth
+        # mid-run stalled whichever query first expanded the heap (~15-45s,
+        # observed repeatedly on this box ~60s into bench runs). Pre-touch
+        # pays that cost once, before any query is timed.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+            + " -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
     )
     # Shuffle/spill scratch on tmpfs when available: the container's /tmp
