@@ -6,8 +6,8 @@
                   exact-Jaccard verification  (fully oracle-checked: the
                   hash family is md5, computable identically in DuckDB)
 - SimHash      : 60-bit md5-derived simhash, banded by 15-bit chunks
-                  (rows-only oracle: hex→int conversion isn't expressible
-                  in DuckDB SQL; pytest asserts dup-pair recall instead)
+                  (fully oracle-checked: hex→int via DuckDB '0x' cast /
+                  Spark conv(hex,16,10); pytest adds dup-pair recall)
 - embedding cosine near-dup: label-blocked pair join with deterministic
   fixed-point cosine (see _vector.py)
 
@@ -355,8 +355,71 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIM_BITS = 60
 _CHUNK_BITS = 15
 
+# DuckDB mirror of the full simhash pipeline. The token hash is the low 60
+# bits of md5 (15 hex chars -> int via '0x' cast / conv(,16,10)) so both
+# engines compute identical hashes; bit sums, chunk packing, banded
+# candidate join and hamming verify are plain integer SQL.
+_SIM_BITSUMS = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_SIM_BITS)
+)
+_SIM_CHUNKS = ",\n       ".join(
+    " + ".join(
+        f"CASE WHEN b{c * _CHUNK_BITS + j} > 0 THEN CAST({2**j} AS BIGINT)"
+        f" ELSE 0 END"
+        for j in range(_CHUNK_BITS)
+    )
+    + f" AS chunk{c}"
+    for c in range(4)
+)
+_SIM_FULL = " + ".join(
+    f"chunk{c} * CAST({2 ** (c * _CHUNK_BITS)} AS BIGINT)" for c in range(4)
+)
+_SIMHASH_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+tokens AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM corpus
+),
+hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w), 1, {_SIM_BITS // 4}) AS BIGINT) AS h
+  FROM tokens
+),
+bits AS (
+  SELECT doc_id,
+         {_SIM_BITSUMS}
+  FROM hashed GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id,
+       {_SIM_CHUNKS}
+  FROM bits
+),
+sim2 AS (
+  SELECT doc_id, {_SIM_FULL} AS simhash, chunk0, chunk1, chunk2, chunk3
+  FROM sim
+),
+ck AS (
+  SELECT doc_id, simhash, cno, cval FROM (
+    SELECT doc_id, simhash, 0 AS cno, chunk0 AS cval FROM sim2
+    UNION ALL SELECT doc_id, simhash, 1, chunk1 FROM sim2
+    UNION ALL SELECT doc_id, simhash, 2, chunk2 FROM sim2
+    UNION ALL SELECT doc_id, simhash, 3, chunk3 FROM sim2) u
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM ck a JOIN ck b
+    ON a.cno = b.cno AND a.cval = b.cval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
 
-@register("dedup_simhash", tags=("dedup", "northstar"))
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "northstar"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit simhash per doc, candidates from 15-bit
     chunk collisions, verified by exact hamming distance ≤ 3.
@@ -365,18 +428,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair with hamming ≤ 3; beyond that recall decays — so the verify
     threshold matches the guarantee instead of over-promising.
 
-    Deterministic (md5-based) but rows-only: DuckDB SQL lacks hex→int.
-    tests/test_northstar.py asserts exact-dup pairs come out at hamming 0.
-    Scale shape identical to MinHash banding: equi-join on chunk values.
+    Oracle-checked since round 2: the token hash is the low 60 bits of
+    md5 (DuckDB: CAST('0x'||hex AS BIGINT); Spark: conv(hex,16,10)), so
+    bit sums, chunk packing, banding and hamming verify all mirror into
+    SQL. tests/test_northstar.py additionally asserts exact-dup pairs at
+    hamming 0. Scale shape identical to MinHash banding: equi-join on
+    chunk values.
     """
     corpus = _dup_corpus(spark, sf_dir)
     ws = F.split(F.trim(F.col("text")), " ")
-    # ONE hash per token occurrence (explode → hash → 60 cheap bit-sum
-    # aggregates). xxhash64 is JVM-native (no hex string round-trip like
-    # md5+conv) — fine here because simhash is rows-only, no SQL mirror;
-    # mask to the low 60 bits so shifts stay in non-negative territory.
+    # ONE md5 per token occurrence (explode → hash → 60 cheap bit-sum
+    # aggregates); 15 hex chars = 60 bits < 2^63, so conv→long is exact.
     tokens = corpus.select("doc_id", F.explode(ws).alias("w"))
-    h = F.xxhash64(F.col("w")).bitwiseAND(F.lit((1 << _SIM_BITS) - 1))
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, _SIM_BITS // 4), 16, 10).cast(
+        "long"
+    )
     hashed = tokens.select("doc_id", h.alias("h"))
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
