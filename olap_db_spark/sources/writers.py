@@ -158,9 +158,16 @@ def upsert_partition_scoped(
     if existing is None:
         unioned = incoming
     else:
-        unioned = existing.filter(
-            F.col(partition_col).isin(parts)
-        ).unionByName(incoming)
+        # NULL partition values need an explicit isNull arm: isin() never
+        # matches NULL, so without it the existing null-partition rows
+        # would be dropped while dynamic overwrite still replaces that
+        # partition — silent data loss.
+        touched = F.col(partition_col).isin(
+            [p for p in parts if p is not None]
+        )
+        if any(p is None for p in parts):
+            touched = touched | F.col(partition_col).isNull()
+        unioned = existing.filter(touched).unionByName(incoming)
     w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
     latest = (
         unioned.withColumn("_rn", F.row_number().over(w))

@@ -67,3 +67,28 @@ def test_upsert_creates_table_when_absent(spark, tmp_path):
     upsert_partition_scoped(spark, incoming, path, "day", ["day", "k"], "ver")
     rows = spark.read.parquet(path).collect()
     assert [(r["val"], r["ver"]) for r in rows] == [("b", 2)]
+
+
+def test_upsert_null_partition_merges_not_drops(spark, tmp_path):
+    """A NULL partition value must merge with the existing null partition
+    (isin() never matches NULL — without the isNull arm the overwrite
+    would silently drop the existing null-partition rows)."""
+    path = str(tmp_path / "nulltbl")
+    base = spark.createDataFrame(
+        [(None, 1, "keep-me", 1), (None, 2, "old", 1), (5, 1, "other", 1)],
+        "day INT, k INT, val STRING, ver INT",
+    )
+    base.write.partitionBy("day").parquet(path)
+    incoming = spark.createDataFrame(
+        [(None, 2, "NEW", 2)], "day INT, k INT, val STRING, ver INT"
+    )
+    upsert_partition_scoped(spark, incoming, path, "day", ["day", "k"], "ver")
+    got = {
+        (r["day"], r["k"]): (r["val"], r["ver"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (None, 1): ("keep-me", 1),  # survived the null-partition rewrite
+        (None, 2): ("NEW", 2),  # replaced
+        (5, 1): ("other", 1),  # untouched partition
+    }
