@@ -46,6 +46,14 @@ class OlapEngine:
         """`SELECT 1` liveness probe (A53)."""
         return self.sql("SELECT 1").collect()[0][0] == 1
 
+    def serve(self, host: str = "127.0.0.1", port: int = 0):
+        """Start the HTTP SQL endpoint (the reference's :8123 surface)
+        over this engine; returns the started server (``.host``/``.port``
+        attributes, ``.stop()`` to shut down)."""
+        from .server import HttpSqlServer
+
+        return HttpSqlServer(self, host, port).start()
+
     # --- ingest surface ---------------------------------------------------
     def ingest(
         self, df: DataFrame, path: str, log_path: str, batch_id: str
