@@ -115,3 +115,19 @@ def test_ddl_dml_over_the_wire(server):
         assert body.strip() == "5"
     finally:
         post("DROP TABLE IF EXISTS wire_sink")
+
+
+def test_engine_serve_helper(spark):
+    """OlapEngine.serve() is the one-call switch-over surface."""
+    import urllib.request
+
+    from olap_db_spark.api import OlapEngine
+
+    srv = OlapEngine(SF, spark=spark).serve()
+    try:
+        body = urllib.request.urlopen(
+            f"http://{srv.host}:{srv.port}/ping", timeout=60
+        ).read()
+        assert body == b"Ok.\n"
+    finally:
+        srv.stop()
