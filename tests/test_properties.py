@@ -99,3 +99,94 @@ def test_fixed_sum_order_independent(spark, values):
         ).repartition(n_part)
         got = df.agg(fixed_sum(F.col("v"), 100).alias("s")).collect()[0]["s"]
         assert got == expected, (n_part, got, expected)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=500),  # token counts per doc
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_pack_prefix_sum_matches_python(spark, counts):
+    """The partition-safe two-level cumsum must equal the plain prefix
+    sum for ANY token distribution (including zero-token docs and doc_ids
+    crossing bucket boundaries)."""
+    from pyspark.sql.window import Window
+
+    from olap_db_spark.operators.text_analysis import _PACK_BUCKET
+
+    rows = [(i * 37, c) for i, c in enumerate(counts)]  # ids cross buckets
+    df = spark.createDataFrame(rows, "doc_id LONG, n_tokens LONG")
+    # reproduce the operator's two-level shape over an arbitrary frame
+    toks = df.withColumn(
+        "bucket", (F.col("doc_id") / _PACK_BUCKET).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = toks.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        toks.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("t"))
+        .withColumn("before", F.coalesce(F.sum("t").over(w_b), F.lit(0)))
+        .select("bucket", "before")
+    )
+    got = {
+        r["doc_id"]: r["local_before"] + r["before"]
+        for r in local.join(offsets, "bucket").collect()
+    }
+    run = 0
+    for doc_id, c in rows:
+        assert got[doc_id] == run, (doc_id, got[doc_id], run)
+        run += c
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-1_000_000, max_value=1_000_000),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=17,
+        max_size=40,
+    )
+)
+def test_pq_subspace_argmin_matches_numpy(spark, vecs):
+    """The JVM-side per-subspace code assignment (exact int argmin with
+    lowest-code ties) must match the numpy reference for arbitrary
+    integer subvectors."""
+    import numpy as np
+
+    from olap_db_spark.operators.similarity import _pq_subd2
+    from pyspark.sql.window import Window
+
+    cb = vecs[:16]  # 16 codes
+    cands = vecs[16:]
+    cb_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cb)], "code LONG, cv ARRAY<LONG>"
+    )
+    v_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cands)], "vid LONG, v ARRAY<LONG>"
+    )
+    w = Window.partitionBy("vid").orderBy("d2", "code")
+    got = {
+        r["vid"]: r["code"]
+        for r in v_df.crossJoin(cb_df)
+        .withColumn("d2", _pq_subd2(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    C = np.array(cb, dtype=np.int64)
+    for i, v in enumerate(cands):
+        d = ((np.array(v, dtype=np.int64)[None, :] - C) ** 2).sum(axis=1)
+        assert got[i] == int(np.argmin(d)), (i, got[i])
