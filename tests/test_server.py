@@ -131,3 +131,21 @@ def test_engine_serve_helper(spark):
         assert body == b"Ok.\n"
     finally:
         srv.stop()
+
+
+def test_explain_and_show_over_the_wire(server):
+    """EXPLAIN and SHOW TABLES work through the endpoint — the admin
+    surface the reference's clients exercise (connection_test.py)."""
+    import urllib.parse
+    import urllib.request
+
+    def get(sql: str) -> str:
+        q = urllib.parse.quote(sql)
+        return urllib.request.urlopen(
+            f"http://{server.host}:{server.port}/?query={q}", timeout=120
+        ).read().decode()
+
+    plan = get("EXPLAIN SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1")
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    tables = get("SHOW TABLES")
+    assert "orders" in tables and "lineitem" in tables
