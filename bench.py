@@ -9,12 +9,21 @@ JSON line:
 Execution is forced with the `noop` sink (full pipeline runs, nothing
 materializes on the driver) so timings measure the engine, not driver
 collect. A warm-up query absorbs JVM/codegen startup before timing begins.
+
+Noise handling (round-2 VERDICT #5: 69–115 s swings across runs made
+round-over-round regressions unattributable): each query is timed
+$SPARK_GRAFT_BENCH_RUNS times (default 3) in interleaved full-suite
+rounds — host noise at any moment lands on different queries each round —
+and the reported per-query number is the MEDIAN. BENCH_FULL.json carries
+median, min, max, and all raw runs per query; the stdout line reports the
+sum of medians and the slowest-30 medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -39,6 +48,7 @@ def run_query(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("olap-db-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -47,27 +57,47 @@ def main() -> None:
     # Warm-up: JVM, codegen, parquet footers.
     run_query(queries["q1_pricing_summary"].fn(spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for name in sorted(queries):
-        t0 = time.perf_counter()
-        run_query(queries[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    names = sorted(queries)
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(n_runs):
+        for name in names:
+            t0 = time.perf_counter()
+            run_query(queries[name].fn(spark, sf_dir))
+            runs[name].append(round(time.perf_counter() - t0, 3))
 
-    total = round(sum(timings.values()), 3)
-    # Full per-query timings for local iteration / the judge.
+    medians = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
+    total = round(sum(medians.values()), 3)
+    # Full per-query stats for local iteration / the judge.
     Path(__file__).resolve().parent.joinpath("BENCH_FULL.json").write_text(
-        json.dumps({"total_sec": total, "queries": timings, "sf": _sf_of(sf_dir)})
+        json.dumps(
+            {
+                "total_sec": total,
+                "n_runs": n_runs,
+                "queries": medians,
+                "spread": {
+                    n: {
+                        "median": medians[n],
+                        "min": min(ts),
+                        "max": max(ts),
+                        "runs": ts,
+                    }
+                    for n, ts in runs.items()
+                },
+                "sf": _sf_of(sf_dir),
+            }
+        )
     )
     # The driver captures a bounded tail of stdout (round-1 line was truncated
     # past ~2 KB → "parsed": null), so keep the JSON line short: report the
     # slowest 30 queries only; the total still covers all of them.
     slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:30]
+        sorted(medians.items(), key=lambda kv: kv[1], reverse=True)[:30]
     )
     print(
         json.dumps(
             {
-                "metric": f"total wall-clock, {len(timings)} queries, noop sink"
+                "metric": f"total wall-clock, {len(medians)} queries, noop sink,"
+                f" median of {n_runs} interleaved runs"
                 f" (slowest 30 shown; full set in BENCH_FULL.json)",
                 "value": total,
                 "unit": "sec",

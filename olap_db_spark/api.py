@@ -14,11 +14,29 @@ as the database.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import TABLES, load, register_views
 from .session import get_spark
-from .sources.writers import idempotent_append
+from .sources.writers import idempotent_append, upsert_partition_scoped
+
+# ReplacingMergeTree-analog statement, accepted by ``sql()`` alongside
+# standard Spark SQL (ClickHouse's replace-partition / keep-latest merge
+# has no ANSI spelling):
+#   UPSERT INTO '<path>' PARTITION BY <col> KEY (<c1, c2, ...>)
+#     ORDER BY <version_col> SELECT ...
+_UPSERT_RE = re.compile(
+    r"^\s*UPSERT\s+INTO\s+'(?P<path>[^']+)'"
+    r"\s+PARTITION\s+BY\s+(?P<pcol>\w+)"
+    r"\s+KEY\s*\((?P<keys>[^)]+)\)"
+    r"\s+ORDER\s+BY\s+(?P<ocol>\w+)"
+    r"\s+(?P<select>SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_INSERT_OVERWRITE_RE = re.compile(r"^\s*INSERT\s+OVERWRITE\b", re.IGNORECASE)
 
 
 class OlapEngine:
@@ -31,7 +49,46 @@ class OlapEngine:
 
     # --- query surface ----------------------------------------------------
     def sql(self, query: str) -> DataFrame:
-        """String-in/DataFrame-out — the reference's `Client.execute`."""
+        """String-in/DataFrame-out — the reference's `Client.execute`.
+
+        Two write statements get engine-level routing on top of plain
+        ``spark.sql``:
+
+        - ``UPSERT INTO '<path>' PARTITION BY p KEY (k...) ORDER BY v
+          SELECT ...`` — the ReplacingMergeTree analog: routed to
+          :func:`upsert_partition_scoped` (keep-latest merge, only the
+          partitions present in the SELECT are rewritten; all other
+          partitions stay untouched bytes). Returns one row per replaced
+          partition value.
+        - ``INSERT OVERWRITE ...`` — executed under dynamic partition
+          overwrite mode, so a partitioned INSERT OVERWRITE replaces only
+          the partitions the query produces (Spark's static default wipes
+          the whole table — never what an OLAP append store wants).
+        """
+        m = _UPSERT_RE.match(query)
+        if m:
+            df = self.spark.sql(m.group("select"))
+            keys = [k.strip() for k in m.group("keys").split(",")]
+            parts = upsert_partition_scoped(
+                self.spark,
+                df,
+                m.group("path"),
+                m.group("pcol"),
+                keys,
+                m.group("ocol"),
+            )
+            return self.spark.createDataFrame(
+                [(str(p),) for p in sorted(parts, key=str)],
+                "replaced_partition string",
+            )
+        if _INSERT_OVERWRITE_RE.match(query):
+            conf_key = "spark.sql.sources.partitionOverwriteMode"
+            old = self.spark.conf.get(conf_key, "static")
+            self.spark.conf.set(conf_key, "dynamic")
+            try:
+                return self.spark.sql(query)  # INSERT executes eagerly
+            finally:
+                self.spark.conf.set(conf_key, old)
         return self.spark.sql(query)
 
     def table(self, name: str) -> DataFrame:
@@ -46,13 +103,14 @@ class OlapEngine:
         """`SELECT 1` liveness probe (A53)."""
         return self.sql("SELECT 1").collect()[0][0] == 1
 
-    def serve(self, host: str = "127.0.0.1", port: int = 0):
+    def serve(self, host: str = "127.0.0.1", port: int = 0, **kw):
         """Start the HTTP SQL endpoint (the reference's :8123 surface)
         over this engine; returns the started server (``.host``/``.port``
-        attributes, ``.stop()`` to shut down)."""
+        attributes, ``.stop()`` to shut down). Loopback-only unless
+        ``allow_external=True``; ``max_rows`` caps rows per response."""
         from .server import HttpSqlServer
 
-        return HttpSqlServer(self, host, port).start()
+        return HttpSqlServer(self, host, port, **kw).start()
 
     # --- ingest surface ---------------------------------------------------
     def ingest(

@@ -81,10 +81,15 @@ def _suffix_len(labels: list[str], rules, wilds, excs) -> int:
     return best
 
 
-def registered_domain_py(host: str | None, include_private: bool = True):
+def registered_domain_py(host: str | None, include_private: bool = False):
     """Pure-Python PSL lookup (driver-side twin of the UDF; used by
     tests). Returns None for empty hosts or hosts that ARE a public
-    suffix (e.g. 'co.uk', 'anything.ck')."""
+    suffix (e.g. 'co.uk', 'anything.ck').
+
+    ``include_private`` defaults to False — matching the reference, whose
+    ``tldextract.extract()`` calls (/root/reference/ranking_urls_generator.py:151)
+    use tldextract's default ``include_psl_private_domains=False``; e.g.
+    'foo.github.io' → 'github.io' by default here and there."""
     if not host:
         return None
     labels = host.lower().rstrip(".").split(".")
@@ -104,9 +109,11 @@ def registered_domain_py(host: str | None, include_private: bool = True):
 _UDF_CACHE: dict[str, object] = {}
 
 
-def registered_domain_udf(host: Column, include_private: bool = True) -> Column:
+def registered_domain_udf(host: Column, include_private: bool = False) -> Column:
     """Arrow-batched pandas UDF (created lazily — pandas_udf needs an
-    active SparkSession to parse its return type).
+    active SparkSession to parse its return type). ``include_private``
+    defaults to False for bit-parity with the reference's
+    ``tldextract.extract()`` defaults (see ``registered_domain_py``).
 
     The worker function is a SELF-CONTAINED closure: executor Python
     workers cannot import this package (driver-owned sessions run from an

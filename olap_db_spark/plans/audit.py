@@ -73,14 +73,27 @@ _FLAGSHIP_CHECKS = {
 
 
 def _no_global_window_over(df: DataFrame, partition_col: str) -> bool:
-    """True iff every unpartitioned Window in the plan is the intended
-    tiny per-``partition_col`` table (heuristic: plans are OK when each
-    Window line either mentions the partition column in its spec or is
-    an unpartitioned window over the aggregated bucket relation)."""
-    lines = [l for l in plan_string(df).splitlines() if "Window [" in l]
-    # exactly the local (partitioned) window + the tiny carry window
-    unpartitioned = [l for l in lines if f"windowspecdefinition({partition_col}" not in l]
-    return len(lines) >= 1 and len(unpartitioned) <= 1
+    """True iff the heavy windows are partitioned by exactly
+    ``partition_col`` and at most one unpartitioned window remains (the
+    tiny per-bucket carry/offset relation).
+
+    The column token is anchored (``windowspecdefinition(<col>#<exprId>``)
+    so a column merely *prefixed* with the name — e.g. ``bucket_id`` —
+    no longer satisfies the check by substring accident (round-2 ADVICE);
+    and the plan must contain an Aggregate below the allowed unpartitioned
+    window, evidencing that it runs over the reduced per-bucket relation
+    rather than the raw data."""
+    plan = plan_string(df)
+    lines = [l for l in plan.splitlines() if "Window [" in l]
+    anchored = re.compile(
+        r"windowspecdefinition\(" + re.escape(partition_col) + r"#\d+"
+    )
+    unpartitioned = [l for l in lines if not anchored.search(l)]
+    if not lines or len(unpartitioned) > 1:
+        return False
+    # the single allowed unpartitioned window must sit over an aggregated
+    # (per-bucket) relation, not the full data
+    return not unpartitioned or "Aggregate" in plan or "HashAggregate" in plan
 
 
 def main() -> None:

@@ -54,70 +54,75 @@ class RegisteredQuery:
 _REGISTRY: dict[str, RegisteredQuery] = {}
 _LOADED = False
 
-# Driver-facing ordering. The round-1 driver evaluated exactly the first 50
-# entries of ``queries()`` in registration order, so ordering controls which
-# queries earn a CORRECTNESS row each round. Names listed here come first (in
-# this order); everything else follows in registration order. Round 2 front-
-# loads the 35 queries with no round-1 row, the 3 non-green rows (agg_pivot /
-# func_json_extract hash-red, agg_approx_count_distinct no-oracle), and the
-# four operators ADDED in round 2 (PQ search, real BMP decode, sequence
-# packing, stratified sampling); the remaining slots re-run round-1-green
-# flagships. Queries past slot 50 all have green round-1 driver rows.
+# Driver-facing ordering. The driver evaluates exactly the first 50 entries
+# of ``queries()`` in registration order, so ordering controls which queries
+# earn a CORRECTNESS row each round. Names listed here come first (in this
+# order); everything else follows in registration order.
+#
+# Round-3 rotation (per VERDICT r2 "Next round" #1): the 42 queries whose
+# latest driver row is round-1 — but whose modules were touched in round 2
+# (windows long-casts, aggregates.py, scalar_funcs.py) — re-earn a driver
+# row on round-3 code. Order: windows, setops, joins, page, func, agg,
+# dedup-basic (judge-specified). The remaining 8 slots: the repaired
+# mm_decode_resize_stats (no_oracle → full hash row), the two new A50/A51
+# metadata queries, and the 5 flagships for continuous evidence. Every
+# query pushed past slot 50 is hash-green in CORRECTNESS_r02.json.
 _PRIORITY: tuple[str, ...] = (
-    # round-1 non-green rows (fixed this round — must re-earn a row)
-    "agg_pivot",
-    "func_json_extract",
-    "agg_approx_count_distinct",
-    # no round-1 row: scalar/agg stragglers past the 50-cap
-    "func_math_family",
-    "agg_percentile_approx",
-    "agg_histogram",
-    "sample_bernoulli",
-    "meta_select_one",
-    "meta_show_tables",
-    "scale_salted_skew_join",
-    "scale_repartition_agg",
-    # time-series / streaming-twin batch queries
-    "ts_tumbling_window",
-    "ts_sliding_window",
-    "ts_session_window",
-    "ts_asof_prior_click",
-    "ts_daily_rollup",
-    "ts_gap_fill",
-    "ts_funnel",
-    "ts_cohort_retention",
-    # text analysis
-    "text_stats_by_lang",
-    "text_quality_signals",
-    "text_lang_id",
-    "text_token_count_bpe",
-    "text_fingerprint",
-    "text_quality_filter",
-    # fuzzy dedup north stars
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    # similarity search
-    "sim_knn_bruteforce",
-    "sim_ann_lsh",
-    "sim_ivf_centroids",
-    "sim_ivf_search",
-    "sim_ivf_kmeans",
-    # multimodal
-    "mm_binary_features",
+    # window functions (code touched in r2: rank/ntile/row_number long-casts)
+    "window_ranking",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_range_frame",
+    # set operations
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_except",
+    "setop_except_all",
+    # joins
+    "join_inner_chain",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_nonequi_band",
+    # pagination / top-k
+    "page_sort_limit",
+    "page_limit_offset",
+    "page_keyset",
+    "page_topk_per_group",
+    "page_filtered_sorted",
+    # scalar function families (scalar_funcs.py touched in r2)
+    "func_url_normalize",
+    "func_split_key_epoch",
+    "func_string_family",
+    "func_date_family",
+    "func_array_ops",
+    "func_conditional",
+    "func_explode_wordcount",
+    # aggregation (aggregates.py touched in r2)
+    "agg_basic_stats",
+    "agg_count_distinct",
+    "agg_quantiles",
+    "agg_collect_set",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_grouping_id",
+    "agg_weighted_avg_pandas",
+    # dedup-basic
+    "dedup_distinct",
+    "dedup_keep_first",
+    "dedup_keep_latest",
+    # repaired in round 3: real BMP decode path + closed-form oracle
     "mm_decode_resize_stats",
-    # new in round 2 (never had a driver row)
-    "sim_pq_search",
-    "mm_real_decode_stats",
-    "text_pack_sequences",
-    "sample_stratified",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q19_brand_band_revenue",
-    # round-1 green flagships (slots 39-50): keep continuous evidence
+    # new in round 3 (A50/A51 — never had a driver row)
+    "meta_show_databases",
+    "meta_show_create_table",
+    # flagships (slots 46-50): keep continuous evidence
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_local_supplier_volume",

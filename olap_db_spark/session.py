@@ -24,6 +24,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Driver-heap default derived from the HOST, not hardcoded (round-2
+    ADVICE: a blind 48g + AlwaysPreTouch commits 48 GB physical at JVM
+    start and fails outright on smaller hosts). Half of MemAvailable,
+    clamped to [2g, 48g]; conservative 4g when /proc/meminfo is absent
+    (non-Linux)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(48, avail_gb // 2))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(
     app_name: str = "olap-db-spark",
     master: str | None = None,
@@ -39,6 +56,7 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 32)
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY") or _default_driver_memory()
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -57,27 +75,35 @@ def get_spark(
         # Read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP_NTZ so
         # wall-clock values match the oracle engine exactly.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-        # Local-mode driver heap is set by the launcher; harmless on cluster.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Local-mode driver heap: explicit env wins; otherwise sized to the
+        # host (see _default_driver_memory). Harmless on cluster, where
+        # spark-submit supplies executor/driver sizing.
+        .config("spark.driver.memory", driver_mem)
         # Commit the whole heap at JVM start: lazily-committed heap growth
         # mid-run stalled whichever query first expanded the heap (~15-45s,
         # observed repeatedly on this box ~60s into bench runs). Pre-touch
-        # pays that cost once, before any query is timed.
+        # pays that cost once, before any query is timed. Safe because the
+        # heap is sized to the host above, never past MemAvailable/2.
         .config(
             "spark.driver.extraJavaOptions",
-            "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "48g")
-            + " -XX:+AlwaysPreTouch",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
         )
         .config("spark.ui.enabled", "false")
     )
-    # Shuffle/spill scratch on tmpfs when available: the container's /tmp
-    # sits on a virtio disk whose periodic writeback stalls can freeze one
-    # shuffle-heavy query for ~30s (observed in bench runs). On a real
-    # cluster this config is the standard local NVMe scratch mount.
+    # Shuffle/spill scratch on tmpfs when it actually has headroom: the
+    # container's /tmp sits on a virtio disk whose periodic writeback
+    # stalls can freeze one shuffle-heavy query for ~30s (observed in
+    # bench runs). Guarded (round-2 ADVICE): only when /dev/shm has ≥8 GiB
+    # free, and opt-out via SPARK_GRAFT_SHM=0 — so heavy spills never
+    # compete with the pre-touched heap on small hosts. On a real cluster
+    # this config is the standard local NVMe scratch mount.
     shm = "/dev/shm/spark-local"
-    try:
-        os.makedirs(shm, exist_ok=True)
-        builder = builder.config("spark.local.dir", shm)
-    except OSError:
-        pass
+    if os.environ.get("SPARK_GRAFT_SHM", "1") != "0":
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 * 1024**3:
+                os.makedirs(shm, exist_ok=True)
+                builder = builder.config("spark.local.dir", shm)
+        except OSError:
+            pass
     return builder.getOrCreate()

@@ -59,7 +59,7 @@ def test_registered_domain_psl_snapshot(spark):
     cases = {
         "shop.example.co.kr": "example.co.kr",
         "www.news.com.sg": "news.com.sg",
-        "foo.github.io": "foo.github.io",  # private-domain rule
+        "foo.github.io": "github.io",  # private rule OFF by default (ref parity)
         "a.b.example.gov.uk": "example.gov.uk",
         "example.ck": None,  # *.ck wildcard: example.ck IS a suffix
         "foo.example.ck": "foo.example.ck",
@@ -73,6 +73,13 @@ def test_registered_domain_psl_snapshot(spark):
     )
     got = {r["s"]: r["rd"] for r in df.collect()}
     assert got == cases
+    # private-domain rules still apply when opted in
+    priv = (
+        _one_col(spark, ["foo.github.io"])
+        .select(registered_domain_udf(F.col("s"), include_private=True).alias("rd"))
+        .collect()[0]["rd"]
+    )
+    assert priv == "foo.github.io"
 
 
 def test_registered_domain_icann_only_flag():

@@ -22,6 +22,27 @@ def test_show_tables_lists_catalog(spark):
     names = [r["table_name"] for r in meta_show_tables(spark, SF01).collect()]
     assert "lineitem" in names and "embeddings" in names
     assert names == sorted(names)
+    # the probe namespace is torn down afterwards
+    dbs = [r[0] for r in spark.sql("SHOW DATABASES").collect()]
+    assert "olap_meta_probe_tables" not in dbs
+
+
+def test_show_databases_probe(spark):
+    from olap_db_spark.operators.metadata_ops import meta_show_databases
+
+    names = [r["db_name"] for r in meta_show_databases(spark, SF01).collect()]
+    assert names == ["default", "olap_meta_probe_db"]
+    dbs = [r[0] for r in spark.sql("SHOW DATABASES").collect()]
+    assert "olap_meta_probe_db" not in dbs
+
+
+def test_show_create_table_contract(spark):
+    from olap_db_spark.operators.metadata_ops import meta_show_create_table
+
+    row = meta_show_create_table(spark, SF01).collect()[0]
+    assert row["table_name"] == "probe_rankings"
+    assert row["has_domain_string"] and row["has_rank_int"]
+    assert row["has_volume_bigint"] and row["uses_parquet"]
 
 
 def test_percentile_approx_near_exact(spark, duck):

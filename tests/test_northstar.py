@@ -135,37 +135,62 @@ def test_mm_real_bmp_decode_roundtrip(spark):
     assert size == len(buf) and off == 54
 
 
-def test_mm_decode_deterministic_across_partitionings(spark):
-    """The multimodal stub pipeline must be partitioning-invariant."""
-    from olap_db_spark.operators.multimodal_ops import mm_decode_resize_stats
+def test_mm_decode_resize_real_roundtrip(spark):
+    """mm_decode_resize_stats is REAL end-to-end: the variable-dim BMP
+    synth produces structurally valid files, the decoder+resizer recovers
+    the exact closed-form block stats for a known doc, and the class
+    rollup is partitioning-invariant."""
+    from pyspark.sql import functions as F
 
-    a = {tuple(r) for r in mm_decode_resize_stats(spark, SF).collect()}
     from olap_db_spark.catalog import load
     from olap_db_spark.operators.multimodal_ops import (
-        _DECODE_SCHEMA,
-        _make_decode_stub,
-        with_binary_payload,
+        _RESIZE_SCHEMA,
+        _make_bmp_resize_decoder,
+        _make_bmp_synth_vardim,
+        _vd_dims,
+        mm_decode_resize_stats,
     )
 
-    repart = (
-        with_binary_payload(load(spark, SF, "documents"))
-        .select("doc_id", "payload")
-        .repartition(7)
-        .mapInPandas(_make_decode_stub(False), schema=_DECODE_SCHEMA)
-    )
-    import pyspark.sql.functions as F
-
-    b = {
-        tuple(r)
-        for r in repart.groupBy("modality")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("n_frames").alias("tf"),
+    # closed-form check for one doc: decode+resize must recover the formula
+    doc_id = 7
+    w, h = _vd_dims(doc_id)
+    lum = [
+        [(doc_id * 31 + 7 * x + 13 * y) % 256 for x in range(w)]
+        for y in range(h)
+    ]
+    blocks = [
+        lum[2 * by][2 * bx]
+        + lum[2 * by][2 * bx + 1]
+        + lum[2 * by + 1][2 * bx]
+        + lum[2 * by + 1][2 * bx + 1]
+        for by in range(h // 2)
+        for bx in range(w // 2)
+    ]
+    row = (
+        spark.range(doc_id, doc_id + 1)
+        .select(
+            F.col("id").alias("doc_id"),
+            _make_bmp_synth_vardim()(F.col("id")).alias("payload"),
         )
-        .collect()
-    }
-    a_tot = sum(r[1] for r in a)  # n_images summed over size classes
-    assert ("image-fake", a_tot, sum(r[2] for r in a)) in b
+        .mapInPandas(_make_bmp_resize_decoder(), schema=_RESIZE_SCHEMA)
+        .collect()[0]
+    )
+    assert (row["width"], row["height"]) == (w, h)
+    assert (row["thumb_w"], row["thumb_h"]) == (w // 2, h // 2)
+    assert row["lum_sum"] == sum(sum(r) for r in lum)
+    assert (row["tmin"], row["tmax"]) == (min(blocks), max(blocks))
+
+    # partitioning invariance of the registered query
+    a = [tuple(r) for r in mm_decode_resize_stats(spark, SF).collect()]
+    docs = load(spark, SF, "documents").repartition(7)
+    repart = docs.select(
+        "doc_id", _make_bmp_synth_vardim()(F.col("doc_id")).alias("payload")
+    ).mapInPandas(_make_bmp_resize_decoder(), schema=_RESIZE_SCHEMA)
+    b_tot = repart.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("lum_sum").alias("s")
+    ).collect()[0]
+    assert b_tot["n"] == sum(r[1] for r in a)
+    assert b_tot["s"] == sum(r[4] for r in a)
 
 
 def test_approx_count_distinct_accuracy(spark, duck):

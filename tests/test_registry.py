@@ -3,6 +3,9 @@
 
 from __future__ import annotations
 
+import json
+import pathlib
+
 from olap_db_spark import registry
 
 
@@ -21,28 +24,32 @@ def test_priority_has_no_duplicates():
 
 def test_driver_window_contents():
     """The first 50 queries() entries (the driver's correctness window)
-    must contain every round-2 target: all round-1-unchecked queries,
-    the three repaired rows, and every operator added in round 2."""
+    must contain every round-3 target (VERDICT r2 'Next round' #1): the
+    42 queries whose latest driver row is round-1, the repaired
+    mm_decode_resize_stats, the two new A50/A51 metadata queries, and
+    the 5 flagships."""
     names = list(registry.all_queries())
     window = set(names[:50])
-    must_have = {
-        # repaired round-1 rows
-        "agg_pivot", "func_json_extract", "agg_approx_count_distinct",
-        # round-2 additions
-        "sim_pq_search", "mm_real_decode_stats", "text_pack_sequences",
-        "sample_stratified", "q6_forecast_revenue", "q14_promo_revenue",
-        "q19_brand_band_revenue",
-        # representative round-1-unchecked families
-        "ts_gap_fill", "text_stats_by_lang", "dedup_minhash_lsh",
-        "sim_ivf_search", "mm_binary_features", "scale_salted_skew_join",
+    r1 = set(json.loads(pathlib.Path("CORRECTNESS_r01.json").read_text()))
+    r2 = set(json.loads(pathlib.Path("CORRECTNESS_r02.json").read_text()))
+    must_have = (r1 - r2) | {
+        # repaired in round 3: stub → real decode+resize with full oracle
+        "mm_decode_resize_stats",
+        # new in round 3 (A50/A51)
+        "meta_show_databases",
+        "meta_show_create_table",
+        # flagships: continuous evidence
+        "q1_pricing_summary", "q3_top_revenue_orders",
+        "q5_local_supplier_volume", "q4_priority_exists",
+        "q17_small_qty_revenue",
     }
     missing = must_have - window
     assert not missing, f"driver window is missing: {sorted(missing)}"
 
 
-def test_every_query_has_fn_and_most_have_oracles():
+def test_every_query_has_fn_and_oracle():
     qs = registry.all_queries()
-    assert len(qs) >= 92
+    assert len(qs) >= 94
     no_oracle = sorted(n for n, rq in qs.items() if rq.oracle is None)
-    # the PIL-gated codec stub is the single intentional rows-only query
-    assert no_oracle == ["mm_decode_resize_stats"], no_oracle
+    # since round 3 every registered query is fully oracle-checked
+    assert no_oracle == [], no_oracle
