@@ -118,7 +118,11 @@ def meta_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         shown = spark.sql(f"SHOW TABLES IN {db}")  # eager command
     return (
-        shown.select(F.col("tableName").alias("table_name"))
+        # SHOW TABLES IN <db> also lists session TEMP VIEWS (with empty
+        # namespace); a session that has the catalog registered as views
+        # would list every name twice. Keep only the scoped db's tables.
+        shown.filter(~F.col("isTemporary"))
+        .select(F.col("tableName").alias("table_name"))
         .filter(F.col("table_name").isin(*present))
         .orderBy("table_name")
     )

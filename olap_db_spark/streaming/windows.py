@@ -17,32 +17,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import _EVENTS_RAW_SCHEMA
+from ..catalog import _EVENTS_RAW_SCHEMA, events_ts_unit, rebuild_ts_ntz
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-stream over events parquet with the same nanos→TIMESTAMP_NTZ
-    rebuild as the batch catalog (olap_db_spark.catalog._load_events)."""
+    """File-stream over events parquet with the same unit-detected
+    INT64→TIMESTAMP_NTZ rebuild as the batch catalog
+    (olap_db_spark.catalog._load_events)."""
     raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(events_dir)
     return (
-        raw.withColumn("_s", F.expr("ts DIV 1000000000"))
-        .withColumn(
-            "_d",
-            F.date_add(
-                F.lit("1970-01-01").cast("date"), F.expr("CAST(_s DIV 86400 AS INT)")
-            ),
-        )
-        .withColumn(
-            "ts",
-            F.expr(
-                "make_timestamp_ntz(year(_d), month(_d), day(_d),"
-                " CAST((_s % 86400) DIV 3600 AS INT),"
-                " CAST((_s % 3600) DIV 60 AS INT),"
-                " CAST((ts DIV 1000) % 60000000 AS DOUBLE) / 1000000.0)"
-            ),
-        )
+        rebuild_ts_ntz(raw, events_ts_unit(events_dir))
         # Watermarks require TIMESTAMP (not NTZ). Under the engine's
         # UTC-pinned session (session.get_spark) the cast is wall-clock
         # exact; streaming entry points should use that factory.
