@@ -40,6 +40,8 @@ _QUERY_MODULES = (
     "olap_db_spark.operators.metadata_ops",
     "olap_db_spark.operators.scale_techniques",
     "olap_db_spark.operators.kmeans",
+    "olap_db_spark.operators.arg_aggregates",
+    "olap_db_spark.operators.relevance",
 )
 
 
@@ -59,74 +61,77 @@ _LOADED = False
 # earn a CORRECTNESS row each round. Names listed here come first (in this
 # order); everything else follows in registration order.
 #
-# Round-3 rotation (per VERDICT r2 "Next round" #1): the 42 queries whose
-# latest driver row is round-1 — but whose modules were touched in round 2
-# (windows long-casts, aggregates.py, scalar_funcs.py) — re-earn a driver
-# row on round-3 code. Order: windows, setops, joins, page, func, agg,
-# dedup-basic (judge-specified). The remaining 8 slots: the repaired
-# mm_decode_resize_stats (no_oracle → full hash row), the two new A50/A51
-# metadata queries, and the 5 flagships for continuous evidence. Every
-# query pushed past slot 50 is hash-green in CORRECTNESS_r02.json.
+# Round-4 rotation: slots 1-2 are the two round-3 hash-red queries
+# (window_range_frame, dedup_keep_latest — root cause: the regenerated
+# testdata switched events.ts from nanos to micros; catalog.py now detects
+# the unit) so they re-earn green rows first. Then every query whose latest
+# driver row predates round 3 — led by the events-based ts_* family, whose
+# shared loader is exactly what changed this round — then the remaining
+# r02-only queries. The 4 spare slots keep flagship continuity. Every query
+# pushed past slot 50 is hash-green in CORRECTNESS_r03.json on unchanged
+# code paths.
 _PRIORITY: tuple[str, ...] = (
-    # window functions (code touched in r2: rank/ntile/row_number long-casts)
-    "window_ranking",
-    "window_lag_lead",
-    "window_running_sum",
+    # round-3 reds, repaired this round (catalog ts-unit detection)
     "window_range_frame",
-    # set operations
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_except",
-    "setop_except_all",
-    # joins
-    "join_inner_chain",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_nonequi_band",
-    # pagination / top-k
-    "page_sort_limit",
-    "page_limit_offset",
-    "page_keyset",
-    "page_topk_per_group",
-    "page_filtered_sorted",
-    # scalar function families (scalar_funcs.py touched in r2)
-    "func_url_normalize",
-    "func_split_key_epoch",
-    "func_string_family",
-    "func_date_family",
-    "func_array_ops",
-    "func_conditional",
-    "func_explode_wordcount",
-    # aggregation (aggregates.py touched in r2)
-    "agg_basic_stats",
-    "agg_count_distinct",
-    "agg_quantiles",
-    "agg_collect_set",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_grouping_id",
-    "agg_weighted_avg_pandas",
-    # dedup-basic
-    "dedup_distinct",
-    "dedup_keep_first",
     "dedup_keep_latest",
-    # repaired in round 3: real BMP decode path + closed-form oracle
-    "mm_decode_resize_stats",
-    # new in round 3 (A50/A51 — never had a driver row)
-    "meta_show_databases",
-    "meta_show_create_table",
-    # flagships (slots 46-50): keep continuous evidence
+    # events-based time series (loader changed this round: unit detection)
+    "ts_tumbling_window",
+    "ts_sliding_window",
+    "ts_session_window",
+    "ts_asof_prior_click",
+    "ts_daily_rollup",
+    "ts_gap_fill",
+    "ts_funnel",
+    "ts_cohort_retention",
+    "agg_histogram",
+    # flagships not seen since r02
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q19_brand_band_revenue",
+    # aggregates not seen since r02
+    "agg_approx_count_distinct",
+    "agg_pivot",
+    "agg_percentile_approx",
+    # scalar families not seen since r02
+    "func_json_extract",
+    "func_math_family",
+    # text-analysis family (r02-only)
+    "text_stats_by_lang",
+    "text_quality_signals",
+    "text_lang_id",
+    "text_token_count_bpe",
+    "text_fingerprint",
+    "text_quality_filter",
+    "text_pack_sequences",
+    # sampling (r02-only)
+    "sample_stratified",
+    "sample_bernoulli",
+    # fuzzy dedup family (r02-only)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    # similarity / ANN family (r02-only)
+    "sim_knn_bruteforce",
+    "sim_ann_lsh",
+    "sim_ivf_kmeans",
+    "sim_ivf_centroids",
+    "sim_ivf_search",
+    "sim_pq_search",
+    # multimodal (r02-only)
+    "mm_binary_features",
+    "mm_real_decode_stats",
+    # metadata + scale techniques (r02-only)
+    "meta_select_one",
+    "meta_show_tables",
+    "scale_salted_skew_join",
+    "scale_repartition_agg",
+    # flagships (spare slots): keep continuous evidence
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_local_supplier_volume",
-    "q4_priority_exists",
     "q17_small_qty_revenue",
 )
 
