@@ -437,3 +437,113 @@ def mm_decode_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_class")
     )
+
+
+# --- REAL audio path: PCM synth → decode → windowed RMS ----------------------
+#
+# Same philosophy as the BMP pipeline: the container has no audio codec, so
+# the engine synthesizes genuine PCM (the one audio "format" parseable from
+# first principles — raw little-endian int16 frames), decodes it with
+# numpy, and reduces to per-window loudness features. The oracle recomputes
+# the same windows from the sample FORMULA, so a decode bug (endianness,
+# width, window framing) fails the hash — not just plumbing bugs.
+
+_AUDIO_WIN = 256  # samples per analysis window; n_samples is a multiple
+
+
+def _make_pcm_synth():
+    """Pandas UDF factory: doc_id → raw PCM bytes (little-endian int16).
+    n_samples = 2048 + 256·(id mod 8); sample[i] = ((id·7919 + i·104729)
+    mod 16001) − 8000. Self-contained closure (executor import rule)."""
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    def synth(doc_ids):
+        import numpy as _np
+        import pandas as _pd
+
+        def one(doc_id):
+            n = 2048 + 256 * (doc_id % 8)
+            i = _np.arange(n, dtype=_np.int64)
+            s = (doc_id * 7919 + i * 104729) % 16001 - 8000
+            return s.astype("<i2").tobytes()
+
+        return _pd.Series([one(int(d)) for d in doc_ids])
+
+    return _pudf(synth, "binary")
+
+
+_AUDIO_SCHEMA = (
+    "doc_id long, window_idx long, rms_e3 long, peak long, n_samples long"
+)
+
+
+def _make_pcm_decoder():
+    """mapInPandas factory: decode little-endian int16 PCM, frame into
+    256-sample windows, emit exact integer loudness features. sum-of-squares
+    is int64-exact; /256 is a power-of-two division (exact in doubles);
+    sqrt is IEEE correctly-rounded — so rms_e3 is bit-identical to the
+    oracle's closed form. Self-contained closure."""
+
+    def decode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        out = {k: [] for k in ("doc_id", "window_idx", "rms_e3", "peak", "n_samples")}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = _np.frombuffer(bytes(payload), dtype="<i2").astype(_np.int64)
+                n = s.size
+                wins = s.reshape(n // 256, 256)
+                sumsq = (wins * wins).sum(axis=1)
+                rms_e3 = _np.round(_np.sqrt(sumsq / 256.0) * 1000.0).astype(
+                    _np.int64
+                )
+                peak = _np.abs(wins).max(axis=1)
+                k = n // 256
+                out["doc_id"].extend([int(doc_id)] * k)
+                out["window_idx"].extend(range(k))
+                out["rms_e3"].extend(int(x) for x in rms_e3)
+                out["peak"].extend(int(x) for x in peak)
+                out["n_samples"].extend([n] * k)
+            yield _pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    return decode
+
+
+_AUDIO_ORACLE = """
+WITH samp AS (
+  SELECT d.doc_id,
+         2048 + 256 * (d.doc_id % 8) AS n_samples,
+         i.range AS i,
+         (d.doc_id * 7919 + i.range * 104729) % 16001 - 8000 AS s
+  FROM documents d, range(0, 4096) i
+  WHERE i.range < 2048 + 256 * (d.doc_id % 8)
+)
+SELECT doc_id, i // 256 AS window_idx,
+       CAST(ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / 256.0) * 1000.0, 0)
+            AS BIGINT) AS rms_e3,
+       MAX(ABS(s)) AS peak,
+       ANY_VALUE(n_samples) AS n_samples
+FROM samp
+GROUP BY doc_id, i // 256
+ORDER BY doc_id, window_idx
+"""
+
+
+@register("mm_audio_rms_windows", oracle=_AUDIO_ORACLE, tags=("multimodal",))
+def mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real audio pipeline: synthesize genuine PCM int16 bytes
+    per document, DECODE them (numpy frombuffer + window framing), reduce
+    to per-window RMS/peak. Oracle-checked against the closed-form sample
+    formula. Both synth and decode are Arrow-batched map-only passes —
+    the frame-sample/feature-extract shape for 100 TB media, where the
+    binary column would hold object-store pointers instead of inline
+    payloads."""
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _make_pcm_synth()(F.col("doc_id")).alias("payload")
+    )
+    return payloads.mapInPandas(
+        _make_pcm_decoder(), schema=_AUDIO_SCHEMA
+    ).orderBy("doc_id", "window_idx")

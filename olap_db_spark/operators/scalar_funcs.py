@@ -329,3 +329,32 @@ def func_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("l_quantity")).alias("qty_sqrt"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),
     )
+
+
+_REGEXP_ORACLE = """
+SELECT event_id, props,
+       regexp_extract(props, '([0-9]+)', 1) AS k_digits,
+       regexp_replace(props, '[0-9]', '#', 'g') AS masked,
+       regexp_matches(props, '^\\{"k": [0-9]+\\}$') AS is_kv_shape,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_digit_runs
+FROM events
+"""
+
+
+@register("func_regexp_family", oracle=_REGEXP_ORACLE, tags=("scalar", "events"))
+def func_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / global regexp_replace / rlike / regexp_count over
+    the events props payload — the pattern-matching scalar surface
+    (ClickHouse extract/replaceRegexpAll/match/countMatches parity).
+    Patterns stay in the RE2∩Java-regex common subset so both engines
+    compile them identically; all four are JVM-side whole-stage-codegen
+    expressions (no UDF)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "props",
+        F.regexp_extract("props", r"([0-9]+)", 1).alias("k_digits"),
+        F.regexp_replace("props", r"[0-9]", "#").alias("masked"),
+        F.col("props").rlike(r'^\{"k": [0-9]+\}$').alias("is_kv_shape"),
+        F.regexp_count("props", F.lit(r"[0-9]+")).alias("n_digit_runs"),
+    )
