@@ -69,6 +69,33 @@ _FLAGSHIP_CHECKS = {
         ("hash join despite OR arms", "BroadcastHashJoin"),
     ],
     "sim_pq_search": [("broadcast codebook/LUT", "BroadcastHashJoin")],
+    # round-4 operators' plan promises ("!" prefix = must NOT appear)
+    "agg_ohlc_hourly": [
+        # the whole OHLC bar is ONE hash aggregate with map-side combine —
+        # min_by/max_by must not have been planned as a window pass
+        ("partial aggregation", "partial_"),
+        ("no window pass over the stream", "!Window ["),
+    ],
+    "agg_topk_per_key": [
+        # the window ranks pre-aggregated counts, so a partial aggregate
+        # must sit below it
+        ("count pre-aggregation", "partial_count"),
+    ],
+    "text_tfidf_topterms": [
+        ("df + N broadcast onto tf", "BroadcastHashJoin"),
+    ],
+    "text_bm25_search": [
+        ("corpus scalars broadcast", "BroadcastHashJoin"),
+        ("top-10 (no full sort)", "TakeOrderedAndProject"),
+    ],
+    "func_regexp_family": [
+        # column pruning: the scan reads (event_id, props) only
+        ("pruned scan", "ReadSchema: struct<event_id:bigint,props:string>"),
+    ],
+    "mm_audio_rms_windows": [
+        ("Arrow-batched synth", "ArrowEvalPython"),
+        ("Arrow-batched decode", "MapInPandas"),
+    ],
 }
 
 
@@ -113,7 +140,10 @@ def main() -> None:
         df = qs[name].fn(spark, sf)
         plan = plan_string(df)
         for label, needle in checks:
-            ok = needle in plan
+            if needle.startswith("!"):
+                ok = needle[1:] not in plan
+            else:
+                ok = needle in plan
             bad += 0 if ok else 1
             print(f"{name}: {label}: {'OK' if ok else 'MISSING'}")
     # partition-safe global-order operators: the heavy window must be

@@ -66,10 +66,10 @@ _LOADED = False
 # testdata switched events.ts from nanos to micros; catalog.py now detects
 # the unit) so they re-earn green rows first. Then every query whose latest
 # driver row predates round 3 — led by the events-based ts_* family, whose
-# shared loader is exactly what changed this round — then the remaining
-# r02-only queries. The 4 spare slots keep flagship continuity. Every query
-# pushed past slot 50 is hash-green in CORRECTNESS_r03.json on unchanged
-# code paths.
+# shared loader is exactly what changed this round — then the 7 queries NEW
+# in round 4 (never driver-checked). Squeezed out to fit 50:
+# sample_bernoulli / meta_select_one / scale_* (r02-green, code untouched)
+# and the flagships (hash-green in CORRECTNESS_r03.json, unchanged).
 _PRIORITY: tuple[str, ...] = (
     # round-3 reds, repaired this round (catalog ts-unit detection)
     "window_range_frame",
@@ -123,16 +123,16 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal (r02-only)
     "mm_binary_features",
     "mm_real_decode_stats",
-    # metadata + scale techniques (r02-only)
-    "meta_select_one",
+    # metadata (r02-only)
     "meta_show_tables",
-    "scale_salted_skew_join",
-    "scale_repartition_agg",
-    # flagships (spare slots): keep continuous evidence
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_local_supplier_volume",
-    "q17_small_qty_revenue",
+    # NEW in round 4 — never driver-checked
+    "agg_argmax_family",
+    "agg_topk_per_key",
+    "agg_ohlc_hourly",
+    "text_tfidf_topterms",
+    "text_bm25_search",
+    "func_regexp_family",
+    "mm_audio_rms_windows",
 )
 
 

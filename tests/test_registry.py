@@ -24,25 +24,27 @@ def test_priority_has_no_duplicates():
 
 def test_driver_window_contents():
     """The first 50 queries() entries (the driver's correctness window)
-    must contain every round-3 target (VERDICT r2 'Next round' #1): the
-    42 queries whose latest driver row is round-1, the repaired
-    mm_decode_resize_stats, the two new A50/A51 metadata queries, and
-    the 5 flagships."""
+    must contain every round-4 target: the two round-3 hash-red queries
+    (repaired by the ts-unit detection), every query never driver-checked
+    (new in round 4), and the events-based ts_* family whose shared
+    loader changed this round."""
     names = list(registry.all_queries())
     window = set(names[:50])
-    r1 = set(json.loads(pathlib.Path("CORRECTNESS_r01.json").read_text()))
-    r2 = set(json.loads(pathlib.Path("CORRECTNESS_r02.json").read_text()))
-    must_have = (r1 - r2) | {
-        # repaired in round 3: stub → real decode+resize with full oracle
-        "mm_decode_resize_stats",
-        # new in round 3 (A50/A51)
-        "meta_show_databases",
-        "meta_show_create_table",
-        # flagships: continuous evidence
-        "q1_pricing_summary", "q3_top_revenue_orders",
-        "q5_local_supplier_volume", "q4_priority_exists",
-        "q17_small_qty_revenue",
+    r3 = set(json.loads(pathlib.Path("CORRECTNESS_r03.json").read_text()))
+    never_checked = {
+        n
+        for n in names
+        if not any(
+            n in json.loads(pathlib.Path(f"CORRECTNESS_r0{i}.json").read_text())
+            for i in (1, 2, 3)
+            if pathlib.Path(f"CORRECTNESS_r0{i}.json").exists()
+        )
     }
+    must_have = (
+        {"window_range_frame", "dedup_keep_latest"}  # round-3 reds
+        | never_checked
+        | {n for n in names if n.startswith("ts_")}  # loader changed
+    )
     missing = must_have - window
     assert not missing, f"driver window is missing: {sorted(missing)}"
 
