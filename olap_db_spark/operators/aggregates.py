@@ -384,3 +384,68 @@ def agg_weighted_avg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(wavg(F.col("l_extendedprice"), F.col("l_quantity")).alias("wavg_price"))
         .orderBy("o_orderpriority")
     )
+
+
+# --- mergeable HLL sketches (uniqCombined-state parity) -----------------------
+
+_HLL_MERGE_ORACLE = """
+SELECT o_orderstatus AS group_key,
+       COUNT(DISTINCT o_custkey) AS n_exact,
+       TRUE AS est_in_bounds
+FROM orders
+GROUP BY o_orderstatus
+UNION ALL
+SELECT 'ALL' AS group_key,
+       COUNT(DISTINCT o_custkey) AS n_exact,
+       TRUE AS est_in_bounds
+FROM orders
+ORDER BY group_key
+"""
+
+
+@register("agg_hll_mergeable", oracle=_HLL_MERGE_ORACLE, tags=("agg", "approx"))
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HLL sketch states (ClickHouse `uniqCombinedState` /
+    `uniqCombinedMerge` parity): build one Datasketches HLL sketch per
+    order status with ``hll_sketch_agg``, then MERGE the per-group binary
+    states with ``hll_union_agg`` into the global estimate — never
+    re-touching the raw rows. Mergeability is the property that matters at
+    100 TB: per-partition sketches combine associatively, so distinct
+    counts roll up across days/shards without a global shuffle of keys.
+
+    Estimates are engine-specific, so (same pattern as
+    ``agg_approx_count_distinct``) each row carries the exact count plus
+    the bounded-error assertion — INCLUDING the 'ALL' row whose estimate
+    came only from the merged sketches; the oracle expects literal TRUE,
+    making both the accuracy and the merge path driver-hashable."""
+    o = load(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sketch"),
+    )
+    per_group = per_group.localCheckpoint(eager=False)  # build sketches once
+    groups = per_group.select(
+        F.col("o_orderstatus").alias("group_key"),
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sketch") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            <= 0.05
+        ).alias("est_in_bounds"),
+    )
+    merged = (
+        per_group.agg(F.hll_union_agg("sketch").alias("sketch"))
+        .crossJoin(
+            o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+        )
+        .select(
+            F.lit("ALL").alias("group_key"),
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sketch") - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+                <= 0.05
+            ).alias("est_in_bounds"),
+        )
+    )
+    return groups.unionByName(merged).orderBy("group_key")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..functions.text import (
@@ -346,6 +347,88 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 <= 5 * F.sqrt(p * (1 - p) / F.col("n_total"))
             ).alias("frac_in_bounds"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- end-to-end corpus curation pipeline -------------------------------------
+
+_PIPELINE_ORACLE = f"""
+WITH quality AS (
+  SELECT doc_id, lang, text, len({_WS}) AS n_tokens
+  FROM documents
+  WHERE len({_WS}) >= 30
+    AND CAST(len(list_distinct({_WS})) AS DOUBLE) / len({_WS}) >= 0.3
+    AND CAST({{stop_hits}} AS DOUBLE) / len({_WS}) <= 0.5
+),
+kept AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                              ORDER BY doc_id) AS rn
+    FROM quality) t
+  WHERE rn = 1
+),
+raw AS (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY lang),
+q AS (SELECT lang, COUNT(*) AS n_quality FROM quality GROUP BY lang),
+k AS (SELECT lang, COUNT(*) AS n_kept, SUM(n_tokens) AS tokens_kept
+      FROM kept GROUP BY lang)
+SELECT raw.lang, raw.n_raw,
+       COALESCE(q.n_quality, 0) AS n_quality,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.tokens_kept, 0) AS tokens_kept
+FROM raw LEFT JOIN q USING (lang) LEFT JOIN k USING (lang)
+ORDER BY lang
+""".replace("{stop_hits}", _sql_hits(LANG_MARKERS["en"]))
+
+
+@register("pipeline_corpus_curation", oracle=_PIPELINE_ORACLE, tags=("text", "llm"))
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline END TO END in one DAG: quality filter
+    (length / vocabulary-diversity / stopword-density — same thresholds as
+    ``text_quality_filter``) → exact dedup (md5 fingerprint of normalized
+    text, keep lowest doc_id — same rule as ``dedup_exact``) → per-language
+    yield report (docs surviving each stage + token budget).
+
+    One Catalyst plan: the filter is a scan-map-filter with no shuffle, the
+    dedup shuffles 16-byte fingerprints once, the three per-lang aggregates
+    reduce to a handful of rows joined at the end. The shape a real 100 TB
+    curation run has — and the proof a user can chain this engine's stages
+    without materializing intermediates."""
+    d = load(spark, sf_dir, "documents")
+    sig = quality_signals(F.col("text"))
+    quality = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        sig["n_tokens"].cast("long").alias("n_tokens"),
+        sig["uniq_token_ratio"].alias("_uniq"),
+        sig["stop_ratio_en"].alias("_stop"),
+    ).filter(
+        (F.col("n_tokens") >= 30) & (F.col("_uniq") >= 0.3) & (F.col("_stop") <= 0.5)
+    )
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    kept = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    raw = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_raw"))
+    q = quality.groupBy("lang").agg(F.count(F.lit(1)).alias("n_quality"))
+    k = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+    return (
+        raw.join(q, "lang", "left")
+        .join(k, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
         )
         .orderBy("lang")
     )

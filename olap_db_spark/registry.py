@@ -105,7 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_pack_sequences",
     # sampling (r02-only)
     "sample_stratified",
-    "sample_bernoulli",
     # fuzzy dedup family (r02-only)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -121,7 +120,6 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ivf_search",
     "sim_pq_search",
     # multimodal (r02-only)
-    "mm_binary_features",
     "mm_real_decode_stats",
     # metadata (r02-only)
     "meta_show_tables",
@@ -133,6 +131,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_bm25_search",
     "func_regexp_family",
     "mm_audio_rms_windows",
+    "agg_hll_mergeable",
+    "pipeline_corpus_curation",
 )
 
 
