@@ -196,3 +196,102 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# --- bigram LM negative log-likelihood (perplexity filtering) ----------------
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
+),
+uni AS (SELECT COUNT(DISTINCT term) AS v
+        FROM (SELECT unnest(l) AS term FROM toks) u),
+big AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM toks, range(1, 4000) r(i)
+  WHERE i <= len(l) - 1
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+contrib AS (
+  SELECT big.doc_id,
+         CAST(ROUND(LN((c2.c2 + 1.0) / (c1.c1 + uni.v)) * 1000000, 0)
+              AS BIGINT) AS lp_e6
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN uni
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       SUM(lp_e6) AS sum_logprob_e6,
+       CAST(ROUND(-CAST(SUM(lp_e6) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+         AS avg_nll_e6
+FROM contrib
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_bigram_lm_nll", oracle=_BIGRAM_ORACLE, tags=("text", "llm"))
+def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model score per document (add-one smoothing,
+    corpus-trained): avg negative log-likelihood — the PERPLEXITY-FILTER
+    primitive a training-data pipeline uses to drop gibberish and
+    boilerplate outliers.
+
+    Spark-first shape: bigrams come from ``slice``+``arrays_zip`` on the
+    token array — a MAP-ONLY extraction, no positional self-join, no
+    shuffle until the count aggregates. The model tables (bigram counts,
+    history counts, vocab size) are O(vocabulary²-observed) and broadcast
+    back onto the bigram stream; per-bigram log-probs are integer-rounded
+    before the per-doc sum (addition-order-proof, as in BM25). At web
+    scale the c2 join flips to a shuffle join by dropping the hint — the
+    pipeline shape is unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("l")
+    )
+    v = (
+        toks.select(F.explode("l").alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(l, 1, size(l) - 1)").alias("w1"),
+                F.expr("slice(l, 2, size(l) - 1)").alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    contrib = (
+        big.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))) * 1000000
+            )
+            .cast("long")
+            .alias("lp_e6"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_e6").alias("sum_logprob_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_logprob_e6",
+            F.round(
+                -F.col("sum_logprob_e6").cast("double") / F.col("n_bigrams")
+            )
+            .cast("long")
+            .alias("avg_nll_e6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -103,8 +103,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "text_quality_filter",
     "text_pack_sequences",
-    # sampling (r02-only)
-    "sample_stratified",
     # fuzzy dedup family (r02-only)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -133,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_audio_rms_windows",
     "agg_hll_mergeable",
     "pipeline_corpus_curation",
+    "text_bigram_lm_nll",
 )
 
 
