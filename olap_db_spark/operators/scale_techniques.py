@@ -117,3 +117,108 @@ def scale_repartition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
     )
+
+
+# --- bucketed interval-overlap join ------------------------------------------
+
+_IVL_W = 7200  # bucket / campaign width (seconds)
+_IVL_N = 40  # campaigns, 90-min stride → overlapping windows
+
+_IVL_WALL_S = """
+CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) * 86400
++ date_part('hour', ts) * 3600
++ date_part('minute', ts) * 60
++ date_part('second', ts)
+"""
+
+_INTERVAL_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id,
+         ({_IVL_WALL_S}) AS wall_s,
+         ({_IVL_WALL_S}) // 86400 AS day
+  FROM events
+),
+spans AS (
+  SELECT user_id, day, MIN(wall_s) AS a_start, MAX(wall_s) + 1 AS a_end
+  FROM ev GROUP BY user_id, day
+),
+t0 AS (SELECT MIN(a_start) AS t0 FROM spans),
+campaigns AS (
+  SELECT c.range AS campaign_id,
+         t0.t0 + c.range * 5400 AS b_start,
+         t0.t0 + c.range * 5400 + {_IVL_W} AS b_end
+  FROM range(0, {_IVL_N}) c, t0
+)
+SELECT campaign_id,
+       COUNT(*) AS n_spans,
+       COUNT(DISTINCT user_id) AS n_users
+FROM campaigns c JOIN spans s
+  ON s.a_start < c.b_end AND c.b_start < s.a_end
+GROUP BY campaign_id
+ORDER BY campaign_id
+"""
+
+
+@register(
+    "scale_interval_bucket_join", oracle=_INTERVAL_ORACLE, tags=("scale", "events")
+)
+def scale_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join via bucketing — the operator Spark has no
+    native form of, in the shape that survives 100 TB. Per-(user, day)
+    activity spans from the events table are joined to overlapping
+    campaign windows (synthesized 2 h windows at 90 min stride).
+
+    A naive theta join (``a_start < b_end AND b_start < a_end``) plans as
+    a nested-loop over the full cross product — quadratic, the classic
+    range-join trap. Instead both interval sets are EXPLODED into the
+    fixed-width time buckets they touch (``sequence`` + ``explode``, a
+    map-only expansion bounded by interval_length/bucket_width), joined
+    with an EQUI-join on the bucket id, re-filtered on the true overlap
+    predicate, and de-duplicated (a pair may share several buckets).
+    Shuffle cost is O(intervals × buckets_touched), never O(|A|·|B|).
+    The oracle runs the naive theta join — same result, different plan
+    class. (DuckDB mirrors the same trick as its IEJoin; Spark's analog
+    is exactly this rewrite.)"""
+    e = load(spark, sf_dir, "events")
+    from .windows import wall_seconds
+
+    ev = e.select(
+        "user_id", wall_seconds(F.col("ts")).alias("wall_s")
+    ).withColumn("day", F.expr("wall_s DIV 86400"))
+    spans = ev.groupBy("user_id", "day").agg(
+        F.min("wall_s").alias("a_start"),
+        (F.max("wall_s") + 1).alias("a_end"),
+    )
+    t0 = spans.agg(F.min("a_start").alias("t0"))
+    campaigns = (
+        spark.range(_IVL_N)
+        .withColumnRenamed("id", "campaign_id")
+        .crossJoin(F.broadcast(t0))
+        .select(
+            "campaign_id",
+            (F.col("t0") + F.col("campaign_id") * 5400).alias("b_start"),
+            (F.col("t0") + F.col("campaign_id") * 5400 + _IVL_W).alias("b_end"),
+        )
+    )
+    spans_b = spans.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.expr("a_start DIV %d" % _IVL_W), F.expr("(a_end - 1) DIV %d" % _IVL_W))),
+    )
+    camp_b = campaigns.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.expr("b_start DIV %d" % _IVL_W), F.expr("(b_end - 1) DIV %d" % _IVL_W))),
+    )
+    pairs = (
+        camp_b.join(spans_b, "bucket")
+        .filter((F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end")))
+        .select("campaign_id", "user_id", "day")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("campaign_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("campaign_id")
+    )

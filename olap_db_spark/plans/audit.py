@@ -96,6 +96,13 @@ _FLAGSHIP_CHECKS = {
         ("Arrow-batched synth", "ArrowEvalPython"),
         ("Arrow-batched decode", "MapInPandas"),
     ],
+    "scale_interval_bucket_join": [
+        # the overlap theta-predicate must ride an equi-join on the bucket
+        # id, not a quadratic join (the sole BroadcastNestedLoopJoin in
+        # the plan is the 1-row t0 crossJoin, which is fine)
+        ("bucket equi-join", "BroadcastHashJoin"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
 }
 
 

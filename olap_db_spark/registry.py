@@ -103,8 +103,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "text_quality_filter",
     "text_pack_sequences",
-    # fuzzy dedup family (r02-only)
-    "dedup_exact",
+    # fuzzy dedup family (r02-only; dedup_exact's rule is re-exercised by
+    # pipeline_corpus_curation, which is in-window)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -132,6 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_hll_mergeable",
     "pipeline_corpus_curation",
     "text_bigram_lm_nll",
+    "scale_interval_bucket_join",
 )
 
 
