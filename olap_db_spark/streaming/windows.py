@@ -133,3 +133,36 @@ def run_available_now(sdf: DataFrame, query_name: str, output_mode: str) -> list
     q.awaitTermination()
     spark = sdf.sparkSession
     return spark.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def ohlc_bars(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators/arg_aggregates.agg_ohlc_hourly: hourly
+    OHLC bars per event type under a watermark. min_by/max_by aggregate
+    states merge associatively, so partial bars combine across triggers
+    exactly like partial shuffles combine in batch — the property that
+    lets one streaming job maintain the bars a batch backfill would
+    produce."""
+    key = F.concat(
+        F.lpad(F.unix_timestamp("ts").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("bucket_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )

@@ -165,3 +165,49 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     shutil.copy(f"{SF}/events.parquet", src / "b.parquet")  # new file arrives
     run_once()  # restart picks up exactly the new file
     assert spark.read.parquet(sink).count() == 2 * n1
+
+
+def test_streaming_ohlc_equals_batch(spark, events_stream_dir):
+    """Streaming OHLC bars must equal the batch aggregate on the replayed
+    fixture — open/close come from min_by/max_by whose states merge
+    across triggers."""
+    from olap_db_spark.streaming.windows import ohlc_bars
+
+    got = {
+        (r["bucket_start"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"],
+        )
+        for r in run_available_now(
+            ohlc_bars(stream_events(spark, events_stream_dir)), "t_ohlc", "append"
+        )
+    }
+    key = F.concat(
+        F.lpad(F.unix_timestamp(F.col("ts").cast("timestamp")).cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    batch = (
+        load(spark, SF, "events")
+        .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("b"),
+            "event_type",
+            "open", "high", "low", "close", "volume",
+        )
+    )
+    want = {
+        (r["b"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"],
+        )
+        for r in batch.collect()
+    }
+    assert got, "stream produced no bars"
+    for k, v in got.items():
+        assert want.get(k) == v, k
+    assert len(got) >= len(want) - 5  # tail windows may be held back
