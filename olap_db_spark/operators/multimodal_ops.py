@@ -547,3 +547,120 @@ def mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         _make_pcm_decoder(), schema=_AUDIO_SCHEMA
     ).orderBy("doc_id", "window_idx")
+
+
+# --- REAL video path: container synth → frame-sample → decode ----------------
+#
+# Video completes the image/audio triad. The container has no video codec,
+# so the payload is a minimal deterministic container parseable from first
+# principles: a 12-byte header (frame_count, width, height — little-endian
+# uint32) followed by raw RGB24 frames. Frame SAMPLING (every 2nd frame)
+# happens on the byte ranges — the decoder never materializes skipped
+# frames, which is the point of frame-sampling at 100 TB: decode cost
+# scales with frames KEPT, not frames stored.
+
+_VID_W, _VID_H, _VID_STRIDE = 16, 12, 2
+
+
+def _make_video_synth():
+    """Pandas UDF factory: doc_id → container bytes. n_frames = 4 +
+    (id mod 5); pixel lum(f, x, y) = (id·31 + 17f + 7x + 13y) mod 256,
+    replicated over RGB. Self-contained closure (executor import rule)."""
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    def synth(doc_ids):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def one(doc_id):
+            n_frames = 4 + (doc_id % 5)
+            f = _np.arange(n_frames)[:, None, None]
+            y = _np.arange(_VID_H)[None, :, None]
+            x = _np.arange(_VID_W)[None, None, :]
+            lum = ((doc_id * 31 + 17 * f + 7 * x + 13 * y) % 256).astype(_np.uint8)
+            frames = _np.repeat(lum[:, :, :, None], 3, axis=3)
+            return (
+                _struct.pack("<III", n_frames, _VID_W, _VID_H)
+                + frames.tobytes()
+            )
+
+        return _pd.Series([one(int(d)) for d in doc_ids])
+
+    return _pudf(synth, "binary")
+
+
+_VID_SCHEMA = "doc_id long, frame_idx long, n_frames long, lum_mean double, lum_min long, lum_max long"
+
+
+def _make_video_decoder():
+    """mapInPandas factory: parse the header, then decode ONLY every
+    2nd frame by slicing its byte range (skipped frames are never
+    touched). Per-frame luminance stats are exact integer arithmetic over
+    one channel (channels are replicated). Self-contained closure."""
+
+    def decode(batches):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        cols = ("doc_id", "frame_idx", "n_frames", "lum_mean", "lum_min", "lum_max")
+        out = {k: [] for k in cols}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames, w, h = _struct.unpack_from("<III", b, 0)
+                fsize = w * h * 3
+                for fi in range(0, n_frames, 2):
+                    off = 12 + fi * fsize
+                    lum = _np.frombuffer(b, _np.uint8, count=fsize, offset=off)[
+                        ::3
+                    ].astype(_np.int64)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(fi)
+                    out["n_frames"].append(int(n_frames))
+                    out["lum_mean"].append(float(int(lum.sum())) / (w * h))
+                    out["lum_min"].append(int(lum.min()))
+                    out["lum_max"].append(int(lum.max()))
+            yield _pd.DataFrame(out)
+            out = {k: [] for k in cols}
+
+    return decode
+
+
+_VIDEO_ORACLE = f"""
+WITH px AS (
+  SELECT d.doc_id, f.range AS frame_idx, 4 + (d.doc_id % 5) AS n_frames,
+         x.range AS x, y.range AS y,
+         (d.doc_id * 31 + 17 * f.range + 7 * x.range + 13 * y.range) % 256 AS lum
+  FROM documents d, range(0, 9) f, range(0, {_VID_W}) x, range(0, {_VID_H}) y
+  WHERE f.range < 4 + (d.doc_id % 5) AND f.range % {_VID_STRIDE} = 0
+)
+SELECT doc_id, frame_idx, ANY_VALUE(n_frames) AS n_frames,
+       CAST(SUM(lum) AS DOUBLE) / ({_VID_W} * {_VID_H}) AS lum_mean,
+       MIN(lum) AS lum_min,
+       MAX(lum) AS lum_max
+FROM px
+GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("mm_video_frame_sample", oracle=_VIDEO_ORACLE, tags=("multimodal",))
+def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END video pipeline: synthesize a raw-RGB24 container per
+    document, FRAME-SAMPLE every 2nd frame by byte-range slicing (skipped
+    frames never decoded — decode cost follows frames kept, not stored),
+    reduce each sampled frame to luminance stats. Oracle-checked against
+    the closed-form pixel formula restricted to the sampled frames, so a
+    sampling bug (stride, offset math) fails the hash, not just a decode
+    bug."""
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", _make_video_synth()(F.col("doc_id")).alias("payload")
+    )
+    return payloads.mapInPandas(
+        _make_video_decoder(), schema=_VID_SCHEMA
+    ).orderBy("doc_id", "frame_idx")

@@ -96,6 +96,10 @@ _FLAGSHIP_CHECKS = {
         ("Arrow-batched synth", "ArrowEvalPython"),
         ("Arrow-batched decode", "MapInPandas"),
     ],
+    "mm_video_frame_sample": [
+        ("Arrow-batched synth", "ArrowEvalPython"),
+        ("Arrow-batched sample+decode", "MapInPandas"),
+    ],
     "scale_interval_bucket_join": [
         # the overlap theta-predicate must ride an equi-join on the bucket
         # id, not a quadratic join (the sole BroadcastNestedLoopJoin in

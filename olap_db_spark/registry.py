@@ -114,7 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_knn_bruteforce",
     "sim_ann_lsh",
     "sim_ivf_kmeans",
-    "sim_ivf_centroids",
+    # (sim_ivf_centroids' path is a subset of in-window sim_ivf_search)
     "sim_ivf_search",
     "sim_pq_search",
     # multimodal (r02-only)
@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_corpus_curation",
     "text_bigram_lm_nll",
     "scale_interval_bucket_join",
+    "mm_video_frame_sample",
 )
 
 
