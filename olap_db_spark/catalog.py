@@ -72,7 +72,23 @@ def events_ts_unit(path: str) -> str:
                 return "us"
             f = files[0]
         typ = pq.read_schema(f).field("ts").type
-        _TS_UNIT_CACHE[path] = getattr(typ, "unit", "us")
+        unit = getattr(typ, "unit", None)
+        if unit is None:
+            # raw INT64 with no timestamp annotation: classify by
+            # magnitude (2001-09 .. 2128-06 in each unit; epochs in this
+            # data are ~2024). One footer statistic, no data scan.
+            md = pq.ParquetFile(f).metadata
+            col = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "ts"
+            )
+            v = abs(md.row_group(0).column(col).statistics.min)
+            for unit, lo in (("s", 1e8), ("ms", 1e11), ("us", 1e14), ("ns", 1e17)):
+                if lo <= v < lo * 1000:
+                    break
+            else:
+                unit = "us"
+        _TS_UNIT_CACHE[path] = unit
     return _TS_UNIT_CACHE[path]
 
 

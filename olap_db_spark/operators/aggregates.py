@@ -449,3 +449,87 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return groups.unionByName(merged).orderBy("group_key")
+
+
+# --- correlation / covariance from exact integer moments ---------------------
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sum_q,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_p,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_qp,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+             * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sum_qq,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_pp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sum_q, sum_p,
+       CAST(ROUND(
+         (CAST(n AS DOUBLE) * CAST(sum_qp AS DOUBLE)
+          - CAST(sum_q AS DOUBLE) * CAST(sum_p AS DOUBLE))
+         / SQRT((CAST(n AS DOUBLE) * CAST(sum_qq AS DOUBLE)
+                 - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(sum_pp AS DOUBLE)
+                   - CAST(sum_p AS DOUBLE) * CAST(sum_p AS DOUBLE)))
+         * 1000000, 0) AS BIGINT) AS corr_e6,
+       CAST(ROUND(
+         (CAST(sum_qp AS DOUBLE) / n
+          - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_p AS DOUBLE) / n))
+         / 100.0 * 1000, 0) AS BIGINT) AS covar_pop_e3
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_corr_covar", oracle=_CORR_ORACLE, tags=("agg",))
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance of (quantity, price)
+    per return flag — from EXACT integer moments. Built-in corr()/
+    covar_pop() sum doubles in shuffle order (nondeterministic last-ulp,
+    and catastrophic cancellation at 100 TB row counts); instead the five
+    moments are integer sums (order-independent, exact — quantity ≤ 50
+    and price-cents ≤ 1e7 keep Σp² under 2^63 through trillions of rows
+    per group), and ONE final double expression — written identically in
+    both engines — produces the statistic. Still a single map-side-combine
+    hash aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity")).cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sum_q"),
+        F.sum(p).alias("sum_p"),
+        F.sum(q * p).alias("sum_qp"),
+        F.sum(q * q).alias("sum_qq"),
+        F.sum(p * p).alias("sum_pp"),
+    )
+    nd = F.col("n").cast("double")
+    sq = F.col("sum_q").cast("double")
+    sp = F.col("sum_p").cast("double")
+    sqp = F.col("sum_qp").cast("double")
+    sqq = F.col("sum_qq").cast("double")
+    spp = F.col("sum_pp").cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        "sum_q",
+        "sum_p",
+        F.round(
+            (nd * sqp - sq * sp)
+            / F.sqrt((nd * sqq - sq * sq) * (nd * spp - sp * sp))
+            * 1000000
+        )
+        .cast("long")
+        .alias("corr_e6"),
+        F.round(
+            (sqp / F.col("n") - (sq / F.col("n")) * (sp / F.col("n")))
+            / 100.0
+            * 1000
+        )
+        .cast("long")
+        .alias("covar_pop_e3"),
+    ).orderBy("l_returnflag")

@@ -358,3 +358,32 @@ def func_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").rlike(r'^\{"k": [0-9]+\}$').alias("is_kv_shape"),
         F.regexp_count("props", F.lit(r"[0-9]+")).alias("n_digit_runs"),
     )
+
+
+_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS key_and,
+       o_orderkey | 4096 AS key_or,
+       xor(o_orderkey, o_custkey) AS key_xor,
+       o_orderkey << 2 AS key_shl,
+       o_orderkey >> 1 AS key_shr,
+       bit_count(o_orderkey) AS key_bits
+FROM orders
+"""
+
+
+@register("func_bitwise_family", oracle=_BITWISE_ORACLE, tags=("scalar",))
+def func_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR/shifts/popcount (ClickHouse bitAnd/bitOr/
+    bitXor/bitShiftLeft/bitCount parity) — pure codegen expressions;
+    the partition-hash and bitmap-index primitives."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderkey").bitwiseAND(F.lit(255))).alias("key_and"),
+        (F.col("o_orderkey").bitwiseOR(F.lit(4096))).alias("key_or"),
+        (F.col("o_orderkey").bitwiseXOR(F.col("o_custkey"))).alias("key_xor"),
+        F.shiftleft(F.col("o_orderkey"), 2).alias("key_shl"),
+        F.shiftright(F.col("o_orderkey"), 1).alias("key_shr"),
+        F.bit_count(F.col("o_orderkey")).alias("key_bits"),
+    )

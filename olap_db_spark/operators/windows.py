@@ -172,3 +172,37 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).alias("events_last_hour"),
     )
+
+
+# --- distribution window functions -------------------------------------------
+
+_DIST_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING)
+         AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("window_distribution", oracle=_DIST_ORACLE, tags=("window",))
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value — the distribution window
+    family. The ordering carries a unique tie-break (o_orderkey), so
+    ranks are total; percent_rank and cume_dist are exact small-integer
+    ratios — bit-identical across engines with no scaling needed."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest"),
+    )

@@ -95,12 +95,10 @@ _PRIORITY: tuple[str, ...] = (
     # scalar families not seen since r02
     "func_json_extract",
     "func_math_family",
-    # text-analysis family (r02-only)
-    "text_stats_by_lang",
+    # text-analysis family (r02-only; stats/lang-id/fingerprint rotate
+    # out this round to make room for never-checked queries)
     "text_quality_signals",
-    "text_lang_id",
     "text_token_count_bpe",
-    "text_fingerprint",
     "text_quality_filter",
     "text_pack_sequences",
     # fuzzy dedup family (r02-only; dedup_exact's rule is re-exercised by
@@ -134,6 +132,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_bigram_lm_nll",
     "scale_interval_bucket_join",
     "mm_video_frame_sample",
+    "agg_corr_covar",
+    "window_distribution",
+    "func_bitwise_family",
 )
 
 

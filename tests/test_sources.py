@@ -138,3 +138,30 @@ def test_idempotent_append_survives_empty_log_dir(spark, tmp_path):
     df = generate_rankings(spark, 10, n_partitions=1)
     assert idempotent_append(spark, df, data, log, "b1") is True
     assert idempotent_append(spark, df, data, log, "b1") is False
+
+
+def test_events_ts_unit_detection(tmp_path):
+    """The driver has regenerated events.parquet with different timestamp
+    physical types across rounds (nanos r1-2, micros r3+); the catalog
+    must detect annotated units AND classify raw unannotated INT64 by
+    epoch magnitude."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olap_db_spark.catalog import events_ts_unit
+
+    t_2024 = 1_706_000_000  # 2024-01-23, seconds
+    # parquet logical timestamps are MILLIS/MICROS/NANOS only (a pyarrow
+    # timestamp[s] is coerced to ms on write)
+    for unit, mult in (("ms", 10**3), ("us", 10**6), ("ns", 10**9)):
+        p = tmp_path / f"ann_{unit}.parquet"
+        pq.write_table(
+            pa.table({"ts": pa.array([t_2024 * mult], pa.timestamp(unit))}), p
+        )
+        assert events_ts_unit(str(p)) == unit, unit
+    for unit, mult in (("s", 1), ("ms", 10**3), ("us", 10**6), ("ns", 10**9)):
+        p = tmp_path / f"raw_{unit}.parquet"
+        pq.write_table(
+            pa.table({"ts": pa.array([t_2024 * mult], pa.int64())}), p
+        )
+        assert events_ts_unit(str(p)) == unit, f"raw {unit}"
