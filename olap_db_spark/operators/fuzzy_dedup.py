@@ -707,3 +707,61 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("doc_id") == F.col("component")).cast("int").alias("is_keeper"),
     )
+
+
+# --- blocked fuzzy string matching (edit distance) ---------------------------
+
+_LEV_ORACLE = """
+WITH names AS (SELECT n_nationkey, n_name FROM nation),
+typos AS (
+  SELECT n_nationkey AS typo_key,
+         substr(n_name, 1, 1) || substr(n_name, 3) AS typo
+  FROM names
+)
+SELECT t.typo, n.n_name AS matched, t.typo_key, n.n_nationkey AS matched_key,
+       levenshtein(t.typo, n.n_name) AS dist
+FROM typos t JOIN names n
+  ON substr(t.typo, 1, 1) = substr(n.n_name, 1, 1)
+ AND abs(len(t.typo) - len(n.n_name)) <= 2
+WHERE levenshtein(t.typo, n.n_name) <= 2
+ORDER BY t.typo, matched
+"""
+
+
+@register("fuzzy_levenshtein_match", oracle=_LEV_ORACLE, tags=("dedup", "fuzzy"))
+def fuzzy_levenshtein_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching by edit distance — entity-resolution /
+    dirty-dimension repair (each nation name matched against its
+    second-character-deleted typo). The join is BLOCKED (same first
+    character + length band ≤ 2) before levenshtein runs, so the
+    quadratic distance computation only touches candidate pairs inside a
+    block — the standard shape for fuzzy joins at scale, where blocking
+    keys (prefix, soundex, length band, LSH bucket) bound the pair count
+    and the expensive metric runs post-join. levenshtein() is classic
+    Wagner-Fischer in both engines — integer, deterministic."""
+    names = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    typos = names.select(
+        F.col("n_nationkey").alias("typo_key"),
+        F.concat(
+            F.substring("n_name", 1, 1), F.expr("substr(n_name, 3)")
+        ).alias("typo"),
+    )
+    joined = typos.join(
+        names,
+        (F.substring("typo", 1, 1) == F.substring("n_name", 1, 1))
+        & (
+            F.abs(F.length("typo") - F.length("n_name")) <= 2
+        ),
+    )
+    return (
+        joined.withColumn("dist", F.levenshtein("typo", "n_name"))
+        .filter(F.col("dist") <= 2)
+        .select(
+            "typo",
+            F.col("n_name").alias("matched"),
+            "typo_key",
+            F.col("n_nationkey").alias("matched_key"),
+            "dist",
+        )
+        .orderBy("typo", "matched")
+    )

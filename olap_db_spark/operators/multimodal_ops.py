@@ -488,25 +488,33 @@ def _make_pcm_decoder():
         import numpy as _np
         import pandas as _pd
 
-        out = {k: [] for k in ("doc_id", "window_idx", "rms_e3", "peak", "n_samples")}
         for pdf in batches:
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = _np.frombuffer(bytes(payload), dtype="<i2").astype(_np.int64)
-                n = s.size
-                wins = s.reshape(n // 256, 256)
-                sumsq = (wins * wins).sum(axis=1)
-                rms_e3 = _np.round(_np.sqrt(sumsq / 256.0) * 1000.0).astype(
-                    _np.int64
-                )
-                peak = _np.abs(wins).max(axis=1)
-                k = n // 256
-                out["doc_id"].extend([int(doc_id)] * k)
-                out["window_idx"].extend(range(k))
-                out["rms_e3"].extend(int(x) for x in rms_e3)
-                out["peak"].extend(int(x) for x in peak)
-                out["n_samples"].extend([n] * k)
-            yield _pd.DataFrame(out)
-            out = {k: [] for k in out}
+            # one concatenated sample vector per Arrow batch; per-doc
+            # window counts recover the (doc, window) row structure —
+            # no per-row Python objects anywhere
+            bufs = [
+                _np.frombuffer(bytes(p), dtype="<i2").astype(_np.int64)
+                for p in pdf["payload"]
+            ]
+            if not bufs:
+                continue
+            ns = _np.array([b.size for b in bufs])
+            ks = ns // 256
+            wins = _np.concatenate(bufs).reshape(-1, 256)
+            sumsq = (wins * wins).sum(axis=1)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _np.repeat(pdf["doc_id"].to_numpy(), ks),
+                    "window_idx": _np.concatenate(
+                        [_np.arange(k) for k in ks]
+                    ),
+                    "rms_e3": _np.round(
+                        _np.sqrt(sumsq / 256.0) * 1000.0
+                    ).astype(_np.int64),
+                    "peak": _np.abs(wins).max(axis=1),
+                    "n_samples": _np.repeat(ns, ks),
+                }
+            )
 
     return decode
 

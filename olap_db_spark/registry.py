@@ -99,7 +99,8 @@ _PRIORITY: tuple[str, ...] = (
     # out this round to make room for never-checked queries)
     "text_quality_signals",
     "text_token_count_bpe",
-    "text_quality_filter",
+    # (text_quality_filter's rule is re-exercised by in-window
+    # pipeline_corpus_curation)
     "text_pack_sequences",
     # fuzzy dedup family (r02-only; dedup_exact's rule is re-exercised by
     # pipeline_corpus_curation, which is in-window)
@@ -135,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_corr_covar",
     "window_distribution",
     "func_bitwise_family",
+    "fuzzy_levenshtein_match",
 )
 
 
