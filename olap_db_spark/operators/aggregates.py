@@ -533,3 +533,36 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("covar_pop_e3"),
     ).orderBy("l_returnflag")
+
+
+# --- ordered string aggregation (groupArray / listagg parity) -----------------
+
+_STRING_AGG_ORACLE = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+         AS priorities,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("agg_string_agg", oracle=_STRING_AGG_ORACLE, tags=("agg",))
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (ClickHouse groupUniqArray / ANSI
+    listagg parity): distinct order priorities per status, joined in
+    sorted order. collect_set gathers engine-arbitrary order, so the
+    deterministic form is array_sort BEFORE concat — the same
+    total-order discipline every LIMIT query in this repo follows."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("o_orderpriority"))
+            ).alias("priorities"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )

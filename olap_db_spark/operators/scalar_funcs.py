@@ -387,3 +387,30 @@ def func_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("o_orderkey"), 1).alias("key_shr"),
         F.bit_count(F.col("o_orderkey")).alias("key_bits"),
     )
+
+
+_DATE_ARITH_ORACLE = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       date_part('quarter', CAST(o_orderdate AS DATE)) AS q,
+       CAST(o_orderdate AS DATE) + 30 AS plus_30d
+FROM orders
+"""
+
+
+@register("func_date_arith", oracle=_DATE_ARITH_ORACLE, tags=("scalar",))
+def func_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family — addMonths/toLastDayOfMonth/toQuarter
+    analogs. add_months clamps to month end in both engines (Jan 31 + 1
+    month = Feb 28); everything stays on DATE so no timezone is
+    consulted."""
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(od, 3).alias("plus_3m"),
+        F.last_day(od).alias("month_end"),
+        F.quarter(od).cast("long").alias("q"),
+        F.date_add(od, 30).alias("plus_30d"),
+    )

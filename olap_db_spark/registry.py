@@ -97,8 +97,8 @@ _PRIORITY: tuple[str, ...] = (
     "func_math_family",
     # text-analysis family (r02-only; stats/lang-id/fingerprint rotate
     # out this round to make room for never-checked queries)
-    "text_quality_signals",
-    "text_token_count_bpe",
+    # (text_quality_signals/token_count rotate out: the signals function
+    # is exercised inside in-window pipeline_corpus_curation)
     # (text_quality_filter's rule is re-exercised by in-window
     # pipeline_corpus_curation)
     "text_pack_sequences",
@@ -137,6 +137,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_distribution",
     "func_bitwise_family",
     "fuzzy_levenshtein_match",
+    "func_date_arith",
+    "agg_string_agg",
 )
 
 
