@@ -76,7 +76,9 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the already-reduced tf table (shuffle of distinct terms only),
     broadcast-join df + the 1-row N back on, windowed top-3 over the
     per-doc term lists. The corpus-wide state that must be shared is
-    O(vocabulary), never O(corpus)."""
+    O(vocabulary), never O(corpus); at web-scale vocabularies (100M+
+    terms) drop the broadcast hint and AQE plans the df join as a
+    shuffle join on term — the pipeline shape is unchanged."""
     docs = load(spark, sf_dir, "documents")
     tf = _tokens(docs).groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
