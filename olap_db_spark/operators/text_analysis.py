@@ -432,3 +432,105 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- benchmark decontamination (n-gram overlap vs an eval set) ---------------
+
+_CONTAM_CAP = 100  # hub 5-grams excluded from matching (mirrored in oracle)
+
+_CONTAM_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  -- contaminated training docs by construction: each benchmark doc
+  -- re-enters the corpus lightly edited (prefix token), so its 5-grams
+  -- survive — the case decontamination exists to catch
+  SELECT doc_id + 2000000 AS doc_id, 'pre ' || text AS text
+  FROM documents WHERE doc_id % 97 = 0
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, len(ws) - 3),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               || ' ' || ws[i+3] || ' ' || ws[i+4])
+         ) AS gs
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus) t
+  WHERE len(ws) >= 5
+),
+exploded AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+capped AS (SELECT g FROM exploded GROUP BY g HAVING COUNT(*) <= {_CONTAM_CAP}),
+bench AS (SELECT doc_id AS bench_id, g FROM exploded WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT e.doc_id, b.bench_id, COUNT(*) AS n_shared
+  FROM exploded e
+  JOIN capped USING (g)
+  JOIN bench b USING (g)
+  WHERE e.doc_id <> b.bench_id
+  GROUP BY e.doc_id, b.bench_id
+)
+SELECT doc_id, bench_id, n_shared
+FROM hits
+WHERE n_shared >= 3
+ORDER BY doc_id, bench_id
+"""
+
+
+@register("text_contamination_check", oracle=_CONTAM_ORACLE, tags=("text", "llm"))
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag training documents sharing ≥3
+    distinct 5-grams with any document in the eval set (here: doc_id
+    divisible by 97 stands in for the benchmark corpus) — the overlap
+    check run before any serious pretraining ingest.
+
+    Same blocked shape as the dedup family: 5-grams by zip-slice
+    (codegen, no window), equi-join on the gram — never a doc×bench
+    cross join; the eval side is tiny and broadcasts. Hub grams (doc
+    frequency > {_CONTAM_CAP}) are excluded symmetrically in both
+    engines, bounding fan-out exactly like the Jaccard frequency cap."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    contaminated = d.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("pre "), F.col("text")).alias("text"),
+    )
+    corpus = d.unionAll(contaminated)
+    ws = F.split(F.trim(F.col("text")), " ")
+    exploded = (
+        corpus.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    *[
+                        F.expr(f"slice(ws, {i}, size(ws) - 4)").alias(f"w{i}")
+                        for i in range(1, 6)
+                    ]
+                )
+            ).alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.col(f"t.w{i}") for i in range(1, 6)]
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    capped = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONTAM_CAP)
+        .select("g")
+    )
+    bench = exploded.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    return (
+        exploded.join(capped, "g")
+        .join(F.broadcast(bench), "g")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy("doc_id", "bench_id")
+    )

@@ -94,7 +94,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_percentile_approx",
     # scalar families not seen since r02
     "func_json_extract",
-    "func_math_family",
     # text-analysis family (r02-only; stats/lang-id/fingerprint rotate
     # out this round to make room for never-checked queries)
     # (text_quality_signals/token_count rotate out: the signals function
@@ -139,6 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_levenshtein_match",
     "func_date_arith",
     "agg_string_agg",
+    "text_contamination_check",
 )
 
 
