@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import TABLES, load, register_views
 from .session import get_spark
-from .sources.writers import idempotent_append, upsert_partition_scoped
+from .sources.writers import delete_where, idempotent_append, upsert_partition_scoped
 
 # ReplacingMergeTree-analog statement, accepted by ``sql()`` alongside
 # standard Spark SQL (ClickHouse's replace-partition / keep-latest merge
@@ -37,6 +37,16 @@ _UPSERT_RE = re.compile(
 )
 
 _INSERT_OVERWRITE_RE = re.compile(r"^\s*INSERT\s+OVERWRITE\b", re.IGNORECASE)
+
+# ALTER TABLE ... DELETE analog (ClickHouse mutation syntax has no ANSI
+# spelling for a path-addressed parquet table):
+#   DELETE FROM '<path>' PARTITION BY <col> WHERE <predicate>
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+'(?P<path>[^']+)'"
+    r"\s+PARTITION\s+BY\s+(?P<pcol>\w+)"
+    r"\s+WHERE\s+(?P<pred>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class OlapEngine:
@@ -60,6 +70,11 @@ class OlapEngine:
           partitions present in the SELECT are rewritten; all other
           partitions stay untouched bytes). Returns one row per replaced
           partition value.
+        - ``DELETE FROM '<path>' PARTITION BY p WHERE <pred>`` — the
+          ALTER TABLE DELETE analog: routed to :func:`delete_where`
+          (only partitions holding matches are rewritten; a partition
+          left empty is dropped). Returns one row per rewritten
+          partition value.
         - ``INSERT OVERWRITE ...`` — executed under dynamic partition
           overwrite mode, so a partitioned INSERT OVERWRITE replaces only
           the partitions the query produces (Spark's static default wipes
@@ -80,6 +95,15 @@ class OlapEngine:
             return self.spark.createDataFrame(
                 [(str(p),) for p in sorted(parts, key=str)],
                 "replaced_partition string",
+            )
+        md = _DELETE_RE.match(query)
+        if md:
+            parts = delete_where(
+                self.spark, md.group("path"), md.group("pcol"), md.group("pred")
+            )
+            return self.spark.createDataFrame(
+                [(str(p),) for p in sorted(parts, key=str)],
+                "rewritten_partition string",
             )
         if _INSERT_OVERWRITE_RE.match(query):
             conf_key = "spark.sql.sources.partitionOverwriteMode"

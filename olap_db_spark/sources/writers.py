@@ -199,3 +199,60 @@ def dedup_against_existing(
     if sink is None:
         return incoming
     return incoming.join(sink.select(*key_cols), key_cols, "left_anti")
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    predicate: str,
+) -> list:
+    """Partition-scoped DELETE (the ClickHouse ``ALTER TABLE ... DELETE``
+    analog; reference backend surface) for a directory-partitioned Parquet
+    table — the GDPR/right-to-erasure shape at 100 TB.
+
+    Partition pruning decides which partitions can possibly hold matching
+    rows (the predicate is evaluated once against the distinct partition
+    values when it references only the partition column; otherwise every
+    partition holding matches is found with one pruned scan). Only those
+    partitions are rewritten without the matching rows, via dynamic
+    partition overwrite; untouched partitions stay byte-identical on
+    disk. Returns the list of rewritten partition values."""
+    existing = _read_parquet_if_exists(spark, path)
+    if existing is None:
+        return []
+    cond = F.expr(predicate)
+    touched = [
+        r[0]
+        for r in existing.filter(cond).select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return []
+    in_touched = F.col(partition_col).isin([p for p in touched if p is not None])
+    if any(p is None for p in touched):
+        in_touched = in_touched | F.col(partition_col).isNull()
+    survivors = existing.filter(in_touched).filter(~cond).localCheckpoint()
+    # Dynamic overwrite only rewrites partitions PRESENT in the output —
+    # a partition whose every row matches the predicate would silently
+    # keep its old files. Those are dropped explicitly (the DROP
+    # PARTITION analog; on a real cluster this is the same filesystem
+    # delete against the partition directory).
+    kept = {
+        r[0] for r in survivors.select(partition_col).distinct().collect()
+    }
+    fully_deleted = [p for p in touched if p not in kept]
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set(conf_key, old)
+    import shutil as _shutil
+
+    for p in fully_deleted:
+        part_dir = (
+            f"{path}/{partition_col}=" + ("__HIVE_DEFAULT_PARTITION__" if p is None else str(p))
+        )
+        _shutil.rmtree(part_dir, ignore_errors=True)
+    return touched

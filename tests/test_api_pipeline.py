@@ -57,3 +57,23 @@ def test_full_ingest_pipeline(spark, tmp_path):
     )
     assert best.count() > 0
     assert best.filter(F.col("best_rank") < 1).count() == 0
+
+
+def test_engine_sql_delete_from(spark, tmp_path):
+    """DELETE FROM '<path>' PARTITION BY p WHERE ... routes to the
+    partition-scoped delete: matching rows gone, empty partitions
+    dropped, result lists rewritten partitions."""
+    from olap_db_spark.api import OlapEngine
+
+    eng = OlapEngine("/root/testdata/sf0.001", spark)
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10, "drop"), (1, 11, "keep"), (2, 20, "drop")],
+        "day int, id int, tag string",
+    ).write.partitionBy("day").parquet(path)
+    res = eng.sql(
+        f"DELETE FROM '{path}' PARTITION BY day WHERE tag = 'drop'"
+    ).collect()
+    assert sorted(r[0] for r in res) == ["1", "2"]
+    left = sorted((r["day"], r["id"]) for r in spark.read.parquet(path).collect())
+    assert left == [(1, 11)]

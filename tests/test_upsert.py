@@ -92,3 +92,50 @@ def test_upsert_null_partition_merges_not_drops(spark, tmp_path):
         (None, 2): ("NEW", 2),  # replaced
         (5, 1): ("other", 1),  # untouched partition
     }
+
+
+def test_delete_where_partition_scoped(spark, tmp_path):
+    """DELETE WHERE rewrites only partitions holding matches; a partition
+    whose every row matches disappears entirely; untouched partitions
+    stay byte-identical."""
+    from olap_db_spark.sources.writers import delete_where
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [
+            # day=1: partially deleted
+            (1, 100, "keep"), (1, 101, "drop"),
+            # day=2: fully deleted
+            (2, 200, "drop"), (2, 201, "drop"),
+            # day=3: untouched
+            (3, 300, "keep"),
+        ],
+        "day int, id int, tag string",
+    )
+    df.write.partitionBy("day").parquet(path)
+    before = _files_state(path)
+
+    touched = delete_where(spark, path, "day", "tag = 'drop'")
+    assert sorted(touched) == [1, 2]
+
+    after = _files_state(path)
+    rows = {(r["day"], r["id"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, 100), (3, 300)}, rows
+    # day=2 directory is gone (full-partition delete)
+    assert not glob.glob(os.path.join(path, "day=2", "*.parquet"))
+    # day=3 files untouched byte-for-byte
+    d3_before = {f: v for f, v in before.items() if "day=3" in f}
+    d3_after = {f: v for f, v in after.items() if "day=3" in f}
+    assert d3_before and d3_before == d3_after
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_path):
+    from olap_db_spark.sources.writers import delete_where
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 1)], "day int, id int").write.partitionBy(
+        "day"
+    ).parquet(path)
+    before = _files_state(path)
+    assert delete_where(spark, path, "day", "id = 999") == []
+    assert _files_state(path) == before
