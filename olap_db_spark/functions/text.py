@@ -80,14 +80,23 @@ def fingerprint(text: Column) -> Column:
 
 
 def quality_signals(text: Column) -> dict[str, Column]:
-    """Deterministic quality-score components."""
+    """Deterministic quality-score components. The raw integer counts
+    (n_uniq, stop_hits_en) are exposed alongside the ratios so threshold
+    FILTERS can compare integer cross-products (uniq·10 ≥ n·3) instead of
+    doubles-vs-literals — engine-proof at exact boundaries. The ratio
+    columns themselves are single divisions of exact integers (correctly
+    rounded under IEEE 754, bit-identical across engines) and stay safe
+    to emit."""
     n_tok = token_count_ws(text)
     n_chars = F.length(text)
     uniq = F.size(F.array_distinct(words(text)))
+    stop_hits = stopword_hits(text, LANG_MARKERS["en"])
     return {
         "n_tokens": n_tok,
         "n_chars_m": n_chars,
+        "n_uniq": uniq,
+        "stop_hits_en": stop_hits,
         "avg_word_len": (n_chars - n_tok + 1).cast("double") / n_tok.cast("double"),
         "uniq_token_ratio": uniq.cast("double") / n_tok.cast("double"),
-        "stop_ratio_en": stopword_ratio(text, LANG_MARKERS["en"]),
+        "stop_ratio_en": stop_hits.cast("double") / n_tok.cast("double"),
     }

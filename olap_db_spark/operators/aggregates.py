@@ -456,30 +456,27 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORR_ORACLE = """
 WITH m AS (
   SELECT l_returnflag,
-         COUNT(*) AS n,
-         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sum_q,
-         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_p,
-         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
-             * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_qp,
-         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
-             * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sum_qq,
-         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-             * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_pp
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS HUGEINT) AS sum_q,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+              AS HUGEINT) AS sum_p,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+              AS HUGEINT) AS sum_qp,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+                  * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS HUGEINT) AS sum_qq,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+              AS HUGEINT) AS sum_pp
   FROM lineitem GROUP BY l_returnflag
 )
-SELECT l_returnflag, n, sum_q, sum_p,
-       CAST(ROUND(
-         (CAST(n AS DOUBLE) * CAST(sum_qp AS DOUBLE)
-          - CAST(sum_q AS DOUBLE) * CAST(sum_p AS DOUBLE))
-         / SQRT((CAST(n AS DOUBLE) * CAST(sum_qq AS DOUBLE)
-                 - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE))
-                * (CAST(n AS DOUBLE) * CAST(sum_pp AS DOUBLE)
-                   - CAST(sum_p AS DOUBLE) * CAST(sum_p AS DOUBLE)))
-         * 1000000, 0) AS BIGINT) AS corr_e6,
-       CAST(ROUND(
-         (CAST(sum_qp AS DOUBLE) / n
-          - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_p AS DOUBLE) / n))
-         / 100.0 * 1000, 0) AS BIGINT) AS covar_pop_e3
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum_q AS BIGINT) AS sum_q,
+       CAST(sum_p AS BIGINT) AS sum_p,
+       CAST(n * sum_qp - sum_q * sum_p AS VARCHAR) AS cov_num,
+       CAST(n * sum_qq - sum_q * sum_q AS VARCHAR) AS den_q,
+       CAST(n * sum_pp - sum_p * sum_p AS VARCHAR) AS den_p
 FROM m
 ORDER BY l_returnflag
 """
@@ -488,50 +485,49 @@ ORDER BY l_returnflag
 @register("agg_corr_covar", oracle=_CORR_ORACLE, tags=("agg",))
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation + population covariance of (quantity, price)
-    per return flag — from EXACT integer moments. Built-in corr()/
-    covar_pop() sum doubles in shuffle order (nondeterministic last-ulp,
-    and catastrophic cancellation at 100 TB row counts); instead the five
-    moments are integer sums (order-independent, exact — quantity ≤ 50
-    and price-cents ≤ 1e7 keep Σp² under 2^63 through trillions of rows
-    per group), and ONE final double expression — written identically in
-    both engines — produces the statistic. Still a single map-side-combine
-    hash aggregate."""
+    per return flag — emitted in EXACT integer/rational form. Built-in
+    corr()/covar_pop() sum doubles in shuffle order (nondeterministic
+    last-ulp, catastrophic cancellation at 100 TB row counts); instead the
+    five moments are integer sums and the statistics are emitted as the
+    exact integers that determine them:
+
+        covar_pop = cov_num / n²
+        corr      = cov_num / sqrt(den_q · den_p)
+
+    with cov_num = n·Σqp − Σq·Σp, den_q = n·Σqq − (Σq)², den_p =
+    n·Σpp − (Σp)². No transcendental ever reaches the hashed output
+    (round-4 lesson: a 1e-6-quantized sqrt double rounds differently
+    across engine builds at .5 midpoints); the float evaluation is a
+    pytest bounded-error contract (tests/test_exact_moments.py).
+
+    Scale: per-row products fit long (q ≤ 5e1, p ≤ 1e7 cents → qp ≤ 5e8,
+    p² ≤ 1e14), but Σp² wraps int64 near 9e4 worst-case rows per group, so
+    the sums accumulate as decimal(38,0) (Spark's 128-bit path, matching
+    DuckDB's HUGEINT) — exact through ~1e24 rows per group; the derived
+    n·Σpp stays within 38 digits up to ~1e12 rows per group, emitted as
+    canonical digit strings so both engines agree byte-for-byte at any
+    magnitude. Still a single map-side-combine hash aggregate."""
     li = load(spark, sf_dir, "lineitem")
     q = F.round(F.col("l_quantity")).cast("long")
     p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
     m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(q).alias("sum_q"),
-        F.sum(p).alias("sum_p"),
-        F.sum(q * p).alias("sum_qp"),
-        F.sum(q * q).alias("sum_qq"),
-        F.sum(p * p).alias("sum_pp"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(q.cast(dec)).cast(dec).alias("sum_q"),
+        F.sum(p.cast(dec)).cast(dec).alias("sum_p"),
+        F.sum((q * p).cast(dec)).cast(dec).alias("sum_qp"),
+        F.sum((q * q).cast(dec)).cast(dec).alias("sum_qq"),
+        F.sum((p * p).cast(dec)).cast(dec).alias("sum_pp"),
     )
-    nd = F.col("n").cast("double")
-    sq = F.col("sum_q").cast("double")
-    sp = F.col("sum_p").cast("double")
-    sqp = F.col("sum_qp").cast("double")
-    sqq = F.col("sum_qq").cast("double")
-    spp = F.col("sum_pp").cast("double")
+    n, sq, sp = F.col("n"), F.col("sum_q"), F.col("sum_p")
     return m.select(
         "l_returnflag",
-        "n",
-        "sum_q",
-        "sum_p",
-        F.round(
-            (nd * sqp - sq * sp)
-            / F.sqrt((nd * sqq - sq * sq) * (nd * spp - sp * sp))
-            * 1000000
-        )
-        .cast("long")
-        .alias("corr_e6"),
-        F.round(
-            (sqp / F.col("n") - (sq / F.col("n")) * (sp / F.col("n")))
-            / 100.0
-            * 1000
-        )
-        .cast("long")
-        .alias("covar_pop_e3"),
+        n.cast("long").alias("n"),
+        sq.cast("long").alias("sum_q"),
+        sp.cast("long").alias("sum_p"),
+        (n * F.col("sum_qp") - sq * sp).cast(dec).cast("string").alias("cov_num"),
+        (n * F.col("sum_qq") - sq * sq).cast(dec).cast("string").alias("den_q"),
+        (n * F.col("sum_pp") - sp * sp).cast(dec).cast("string").alias("den_p"),
     ).orderBy("l_returnflag")
 
 

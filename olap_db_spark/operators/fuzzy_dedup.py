@@ -83,7 +83,12 @@ def _shingled(corpus: DataFrame) -> DataFrame:
     collect_set; the zip-slice form was measured ~2× faster at sf0.1).
     One shuffle total: the groupBy(doc_id) for the set aggregate."""
     ws = F.split(F.trim(F.col("text")), " ")
-    exploded = corpus.select("doc_id", ws.alias("ws")).select(
+    # The ≥3-token guard is load-bearing, not cosmetic: slice() with a
+    # negative length (size(ws) - 2 < 0 for a 1-token doc) is a runtime
+    # error in Spark, and the oracle applies the same len >= 3 filter.
+    exploded = corpus.select("doc_id", ws.alias("ws")).filter(
+        F.size("ws") >= 3
+    ).select(
         "doc_id",
         F.explode(
             F.arrays_zip(

@@ -196,20 +196,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QFILTER_ORACLE = f"""
 SELECT doc_id, lang,
        len({_WS}) AS n_tokens,
-       CAST(len(list_distinct({_WS})) AS DOUBLE) / len({_WS}) AS uniq_ratio
+       len(list_distinct({_WS})) AS n_uniq
 FROM documents
 WHERE len({_WS}) >= 30
-  AND CAST(len(list_distinct({_WS})) AS DOUBLE) / len({_WS}) >= 0.3
-  AND CAST({_sql_hits(LANG_MARKERS['en'])} AS DOUBLE) / len({_WS}) <= 0.5
+  AND len(list_distinct({_WS})) * 10 >= len({_WS}) * 3
+  AND {_sql_hits(LANG_MARKERS['en'])} * 2 <= len({_WS})
 """
 
 
 @register("text_quality_filter", oracle=_QFILTER_ORACLE, tags=("text",))
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data FILTER step: keep documents passing length,
-    vocabulary-diversity, and stopword-density thresholds — the decision
-    surface quality_signals feeds. Pure scan→map→filter (no shuffle):
-    the cheapest possible 100 TB shape."""
+    vocabulary-diversity (uniq/n ≥ 0.3), and stopword-density (hits/n ≤
+    0.5) thresholds — the decision surface quality_signals feeds.
+
+    The thresholds are evaluated as INTEGER cross-products (uniq·10 ≥
+    n·3, hits·2 ≤ n): round-4 drove a count off by one on a document
+    sitting exactly at the 0.3 boundary, where engines may promote the
+    `ratio >= 0.3` literal differently (DuckDB parses 0.3 as DECIMAL(2,1),
+    Spark as double) — integer comparisons cannot drift. Pure
+    scan→map→filter (no shuffle): the cheapest possible 100 TB shape."""
     d = load(spark, sf_dir, "documents")
     sig = quality_signals(F.col("text"))
     return (
@@ -217,15 +223,15 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             sig["n_tokens"].cast("long").alias("n_tokens"),
-            sig["uniq_token_ratio"].alias("uniq_ratio"),
-            sig["stop_ratio_en"].alias("_stop"),
+            sig["n_uniq"].cast("long").alias("n_uniq"),
+            sig["stop_hits_en"].cast("long").alias("_stop_hits"),
         )
         .filter(
             (F.col("n_tokens") >= 30)
-            & (F.col("uniq_ratio") >= 0.3)
-            & (F.col("_stop") <= 0.5)
+            & (F.col("n_uniq") * 10 >= F.col("n_tokens") * 3)
+            & (F.col("_stop_hits") * 2 <= F.col("n_tokens"))
         )
-        .drop("_stop")
+        .drop("_stop_hits")
     )
 
 
@@ -359,8 +365,8 @@ WITH quality AS (
   SELECT doc_id, lang, text, len({_WS}) AS n_tokens
   FROM documents
   WHERE len({_WS}) >= 30
-    AND CAST(len(list_distinct({_WS})) AS DOUBLE) / len({_WS}) >= 0.3
-    AND CAST({{stop_hits}} AS DOUBLE) / len({_WS}) <= 0.5
+    AND len(list_distinct({_WS})) * 10 >= len({_WS}) * 3
+    AND {{stop_hits}} * 2 <= len({_WS})
 ),
 kept AS (
   SELECT * FROM (
@@ -403,10 +409,15 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "text",
         sig["n_tokens"].cast("long").alias("n_tokens"),
-        sig["uniq_token_ratio"].alias("_uniq"),
-        sig["stop_ratio_en"].alias("_stop"),
+        sig["n_uniq"].cast("long").alias("_uniq"),
+        sig["stop_hits_en"].cast("long").alias("_stop"),
     ).filter(
-        (F.col("n_tokens") >= 30) & (F.col("_uniq") >= 0.3) & (F.col("_stop") <= 0.5)
+        (F.col("n_tokens") >= 30)
+        # integer cross-products, not `ratio >= 0.3` — a doc sitting
+        # exactly at the boundary flipped a count in round 4 (engines
+        # promote the decimal literal differently)
+        & (F.col("_uniq") * 10 >= F.col("n_tokens") * 3)
+        & (F.col("_stop") * 2 <= F.col("n_tokens"))
     )
     w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
     kept = (
@@ -497,6 +508,9 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.split(F.trim(F.col("text")), " ")
     exploded = (
         corpus.select("doc_id", ws.alias("ws"))
+        # ≥5 tokens required: slice() with negative length (size - 4 < 0)
+        # is a runtime error in Spark; the oracle carries the same guard
+        .filter(F.size("ws") >= 5)
         .select(
             "doc_id",
             F.explode(

@@ -231,7 +231,16 @@ def delete_where(
     in_touched = F.col(partition_col).isin([p for p in touched if p is not None])
     if any(p is None for p in touched):
         in_touched = in_touched | F.col(partition_col).isNull()
-    survivors = existing.filter(in_touched).filter(~cond).localCheckpoint()
+    # SQL DELETE removes rows where the predicate is TRUE; rows where it
+    # evaluates to NULL must SURVIVE. A bare filter(~cond) drops them
+    # (three-valued logic: NOT NULL → NULL → filtered out) — silent data
+    # loss for e.g. `value > 100` against a NULL value row sharing a
+    # rewritten partition with a match.
+    survivors = (
+        existing.filter(in_touched)
+        .filter(~F.coalesce(cond, F.lit(False)))
+        .localCheckpoint()
+    )
     # Dynamic overwrite only rewrites partitions PRESENT in the output —
     # a partition whose every row matches the predicate would silently
     # keep its old files. Those are dropped explicitly (the DROP

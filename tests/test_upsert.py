@@ -129,6 +129,31 @@ def test_delete_where_partition_scoped(spark, tmp_path):
     assert d3_before and d3_before == d3_after
 
 
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    are NOT deleted. A NULL-value row co-located in a rewritten partition
+    with a TRUE-matching row must survive the rewrite (a bare
+    filter(~cond) would drop it — three-valued logic)."""
+    from olap_db_spark.sources.writers import delete_where
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [
+            (1, 1, 500),   # matches value > 100 → deleted
+            (1, 2, None),  # predicate NULL → must survive
+            (1, 3, 50),    # predicate FALSE → survives
+        ],
+        "day int, id int, value int",
+    ).write.partitionBy("day").parquet(path)
+
+    touched = delete_where(spark, path, "day", "value > 100")
+    assert touched == [1]
+    rows = {
+        (r["id"], r["value"]) for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {(2, None), (3, 50)}, rows
+
+
 def test_delete_where_no_match_is_noop(spark, tmp_path):
     from olap_db_spark.sources.writers import delete_where
 
