@@ -562,3 +562,111 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- exact interpolated quantiles, integer-certified ----------------------------
+
+# ClickHouse quantileExact / medianExact analog. Both engines interpolate at
+# pos = q*(n-1); with integer cents and q in {.25, .5, .75} the interpolated
+# value is an exact multiple of 1/4, so 4x (2x for the median) is an exact
+# integer — no float ever reaches the hashed output (round-4 lesson).
+_MEDIAN_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(2 * quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT), 0.5), 0)
+            AS BIGINT) AS med2_cents,
+       CAST(ROUND(4 * quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT), 0.25), 0)
+            AS BIGINT) AS q25x4_cents,
+       CAST(ROUND(4 * quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT), 0.75), 0)
+            AS BIGINT) AS q75x4_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("agg_median_exact", oracle=_MEDIAN_ORACLE, tags=("agg", "events"))
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median / quartiles per event type (ClickHouse quantileExact,
+    vs the sketch-based agg_percentile_approx). Spark's exact percentile()
+    and DuckDB's quantile_cont share the pos = q*(n-1) linear-interpolation
+    convention; on integer cents the result is an exact multiple of 1/4,
+    certified by emitting 2x/4x as BIGINT. Exact quantiles need the full
+    per-group value multiset (one shuffle); at 100 TB grades into
+    percentile_approx — both are provided."""
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(2 * F.percentile(cents, F.lit(0.5)))
+            .cast("long")
+            .alias("med2_cents"),
+            F.round(4 * F.percentile(cents, F.lit(0.25)))
+            .cast("long")
+            .alias("q25x4_cents"),
+            F.round(4 * F.percentile(cents, F.lit(0.75)))
+            .cast("long")
+            .alias("q75x4_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- mergeable per-key map aggregation (ClickHouse sumMap analog) ---------------
+
+# sumMap(k, v) merges {key -> sum} maps associatively per group. Spark shape:
+# pre-aggregate (day, key), then fold the per-key rows into ONE canonical
+# sorted map per day, serialized "key:count:cents" — deterministic, engine-
+# neutral, and exactly the state a MergeTree AggregatingMergeTree rollup
+# would store. Two partial->final hash aggregates, no extra shuffle beyond
+# the grouping keys.
+_SUM_MAP_ORACLE = """
+WITH g AS (
+  SELECT CAST(ts AS DATE) AS day,
+         event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       string_agg(event_type || ':' || n || ':' || cents, ',' ORDER BY event_type)
+         AS sum_map
+FROM g
+GROUP BY day
+ORDER BY day
+"""
+
+
+@register("agg_sum_map", oracle=_SUM_MAP_ORACLE, tags=("agg", "events"))
+def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day {event_type -> (count, cents)} map rollup — the ClickHouse
+    ``sumMap``/``countMap`` combinator (backend-implied surface, SURVEY.md
+    SS2.3). The map is emitted in canonical key-sorted serialized form so
+    the hash is order-independent."""
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = e.groupBy(
+        F.col("ts").cast("date").alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    return (
+        g.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("event_type", "n", "cents"))
+                    ),
+                    lambda x: F.concat_ws(
+                        ":", x["event_type"], x["n"].cast("string"), x["cents"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("sum_map"),
+        )
+        .orderBy("day")
+    )

@@ -456,3 +456,183 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- ordered sequence match (ClickHouse sequenceMatch analog) -------------------
+
+# ClickHouse: sequenceMatch('(?1).*(?2).*(?3)')(ts, type='view', type='click',
+# type='purchase') per user. Implemented as a chain of cumulative-MAX "seen"
+# flags over each user's timeline: seen1 = a view occurred at-or-before this
+# row; seen2 = a click occurred after a view; seen3 = a purchase after such a
+# click. All three windows share (partition, order), so Catalyst plans ONE
+# shuffle + ONE sort with three window ops — the scale-correct pattern vs the
+# quadratic per-user self-join.
+_SEQ_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS seen_v
+  FROM events
+), s2 AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'click' AND seen_v = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS seen_vc
+  FROM s1
+), s3 AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'purchase' AND seen_vc = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS seen_vcp
+  FROM s2
+)
+SELECT user_id,
+       CAST(MAX(seen_v) AS BIGINT) AS saw_view,
+       CAST(MAX(seen_vc) AS BIGINT) AS seq_view_click,
+       CAST(MAX(seen_vcp) AS BIGINT) AS seq_view_click_purchase
+FROM s3
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("ts_sequence_match", oracle=_SEQ_ORACLE, tags=("events", "window"))
+def ts_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-sequence detection (view -> click -> purchase),
+    the ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')`` analog (backend-
+    implied OLAP surface, SURVEY.md SS2.3). Cumulative-flag chain: one
+    shuffle on user_id, one sort, three window ops — never a per-user
+    self-join."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s1 = e.withColumn(
+        "seen_v",
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w),
+    )
+    s2 = s1.withColumn(
+        "seen_vc",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("seen_v") == 1), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "seen_vcp",
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("seen_vc") == 1), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    return (
+        s3.groupBy("user_id")
+        .agg(
+            F.max("seen_v").cast("long").alias("saw_view"),
+            F.max("seen_vc").cast("long").alias("seq_view_click"),
+            F.max("seen_vcp").cast("long").alias("seq_view_click_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- nearest-neighbor as-of join ------------------------------------------------
+
+# ts_asof_prior_click matches backward only; this is the NEAREST variant
+# (ClickHouse ASOF JOIN + pandas merge_asof(direction='nearest') analog):
+# each error event pairs with the closest same-user click in either
+# direction, ties broken toward the earlier (prior) click. Same union-
+# timeline trick — running last/first over one sorted pass, ONE shuffle on
+# user_id, zero range joins.
+_ASOF_NEAREST_ORACLE = """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS prev_click_ts,
+         FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+       CASE
+         WHEN prev_click_ts IS NULL AND next_click_ts IS NULL THEN NULL
+         WHEN next_click_ts IS NULL THEN date_diff('microseconds', prev_click_ts, ts)
+         WHEN prev_click_ts IS NULL THEN date_diff('microseconds', ts, next_click_ts)
+         WHEN date_diff('microseconds', prev_click_ts, ts)
+              <= date_diff('microseconds', ts, next_click_ts)
+           THEN date_diff('microseconds', prev_click_ts, ts)
+         ELSE date_diff('microseconds', ts, next_click_ts)
+       END AS delta_us,
+       CASE
+         WHEN prev_click_ts IS NULL AND next_click_ts IS NULL THEN 'none'
+         WHEN next_click_ts IS NULL THEN 'prev'
+         WHEN prev_click_ts IS NULL THEN 'next'
+         WHEN date_diff('microseconds', prev_click_ts, ts)
+              <= date_diff('microseconds', ts, next_click_ts)
+           THEN 'prev'
+         ELSE 'next'
+       END AS side
+FROM t
+WHERE event_type = 'error'
+ORDER BY event_id
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE, tags=("events", "join"))
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each error event <-> the temporally closest click
+    of the same user, in either direction (pandas merge_asof
+    direction='nearest'; ClickHouse ASOF JOIN generalization). Running
+    ignore-nulls last/first over the unioned timeline — one user_id shuffle,
+    no pairwise blow-up, the only as-of pattern that survives 100 TB."""
+    e = load(spark, sf_dir, "events")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = e.withColumn(
+        "prev_click_ts", F.last(click_ts, ignorenulls=True).over(w_prev)
+    ).withColumn("next_click_ts", F.first(click_ts, ignorenulls=True).over(w_next))
+    d_prev = F.expr("timestampdiff(MICROSECOND, prev_click_ts, ts)")
+    d_next = F.expr("timestampdiff(MICROSECOND, ts, next_click_ts)")
+    use_prev = F.col("next_click_ts").isNull() | (
+        F.col("prev_click_ts").isNotNull() & (d_prev <= d_next)
+    )
+    return (
+        t.filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("error_ts"),
+            F.when(
+                F.col("prev_click_ts").isNull() & F.col("next_click_ts").isNull(),
+                F.lit(None).cast("long"),
+            )
+            .when(use_prev, d_prev)
+            .otherwise(d_next)
+            .alias("delta_us"),
+            F.when(
+                F.col("prev_click_ts").isNull() & F.col("next_click_ts").isNull(),
+                F.lit("none"),
+            )
+            .when(use_prev, F.lit("prev"))
+            .otherwise(F.lit("next"))
+            .alias("side"),
+        )
+        .orderBy("event_id")
+    )

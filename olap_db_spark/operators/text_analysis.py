@@ -548,3 +548,239 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 3)
         .orderBy("doc_id", "bench_id")
     )
+
+
+# --- PII detection + redaction --------------------------------------------------
+
+# Training-corpus scrubbing pass. The synthetic documents carry no PII, so a
+# deterministic contact line (derived from doc_id, identically in both
+# engines) is prepended and then scrubbed — exercising the real surface:
+# count + replace over email / IPv4 / phone patterns. All three regexes use
+# the portable subset shared by Java regex (Spark) and RE2 (DuckDB).
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b555-\d{4}\b"
+
+_PII_TEXT_SQL = (
+    "'contact doc' || doc_id || '@example.org at 10.' || (doc_id % 250)"
+    " || '.' || ((doc_id * 7) % 250) || '.9 tel 555-' "
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: ' || text"
+)
+
+_PII_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_PII_TEXT_SQL} AS pii_text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii_text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(pii_text, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(pii_text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(pii_text,
+           '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_IP}', '[IP]', 'g'),
+           '{_PII_PHONE}', '[PHONE]', 'g') AS redacted
+FROM t
+ORDER BY doc_id
+"""
+
+
+@register("text_pii_redact", oracle=_PII_ORACLE, tags=("text", "llm"))
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: detect + redact emails, IPv4s
+    and phone numbers (count columns + a fully-redacted text column). Pure
+    map-side regex work inside whole-stage codegen — zero shuffles, the
+    100 TB shape is scan -> map -> write."""
+    d = load(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.lit("contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org at 10."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 250).cast("string"),
+        F.lit(".9 tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    t = d.select("doc_id", pii_text.alias("pii_text"))
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("pii_text", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("pii_text", F.lit(_PII_IP), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all("pii_text", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("pii_text", _PII_EMAIL, "[EMAIL]"),
+                _PII_IP,
+                "[IP]",
+            ),
+            _PII_PHONE,
+            "[PHONE]",
+        ).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+# --- intra-document repetition stats (Gopher-style repetition filter) -----------
+
+# Quality signal from the Gopher/MassiveText rules: documents dominated by a
+# repeated phrase are boilerplate. Everything is an integer count over the
+# token/bigram lists (array lambdas, map-side only); the repetitive flag is
+# an integer cross-product (top_bigram_n * 5 >= n_bigrams), never a
+# float-vs-literal compare (round-4 lesson).
+_REP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_WS} AS ws, len({_WS}) AS n FROM documents
+), b AS (
+  SELECT doc_id, n, ws,
+         CASE WHEN n >= 2
+              THEN list_transform(range(1, n), i -> ws[i] || ' ' || ws[i + 1])
+              ELSE [] END AS bi,
+         CASE WHEN n >= 2
+              THEN len(list_filter(range(2, n + 1), i -> ws[i] = ws[i - 1]))
+              ELSE 0 END AS n_adj_dup
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(n_adj_dup AS BIGINT) AS n_adj_dup,
+       CAST(len(bi) AS BIGINT) AS n_bigrams,
+       CAST(len(bi) - len(list_distinct(bi)) AS BIGINT) AS n_dup_bigrams,
+       CAST(COALESCE(list_max(list_transform(list_distinct(bi),
+                g -> len(list_filter(bi, x -> x = g)))), 0) AS BIGINT)
+         AS top_bigram_n,
+       CAST(CASE WHEN COALESCE(list_max(list_transform(list_distinct(bi),
+                g -> len(list_filter(bi, x -> x = g)))), 0) * 5 >= len(bi)
+                 AND len(bi) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+FROM b
+ORDER BY doc_id
+"""
+
+
+@register("text_repetition_stats", oracle=_REP_ORACLE, tags=("text", "llm"))
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition profile (Gopher-rule family): adjacent
+    duplicate tokens, duplicate bigram mass, and the dominant bigram's
+    count, with an integer-ratio boilerplate flag. Array-lambda only —
+    per-document work is bounded by document length, so the operator is a
+    pure map at any corpus scale."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), " ").alias("ws"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n"),
+    )
+    b = t.select(
+        "doc_id",
+        "n",
+        F.when(
+            F.col("n") >= 2,
+            F.expr(
+                "transform(sequence(1, n - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bi"),
+        F.when(
+            F.col("n") >= 2,
+            F.expr(
+                "size(filter(sequence(2, n),"
+                " i -> element_at(ws, i) = element_at(ws, i - 1)))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("n_adj_dup"),
+    )
+    top_n = F.coalesce(
+        F.array_max(
+            F.expr("transform(array_distinct(bi), g -> size(filter(bi, x -> x = g)))")
+        ),
+        F.lit(0),
+    )
+    return b.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_adj_dup").cast("long").alias("n_adj_dup"),
+        F.size("bi").cast("long").alias("n_bigrams"),
+        (F.size("bi") - F.size(F.array_distinct("bi"))).cast("long").alias(
+            "n_dup_bigrams"
+        ),
+        top_n.cast("long").alias("top_bigram_n"),
+        F.when((top_n * 5 >= F.size("bi")) & (F.size("bi") > 0), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+# --- fixed-size training-chunk splitter -----------------------------------------
+
+# Sequence-packing's sibling: split each document into chunk_size-token
+# windows advancing by stride tokens (overlap = chunk_size - stride), the
+# standard LLM pretraining chunking shape. Chunk count and boundaries are
+# pure integer math; explode(sequence(...)) fans rows out map-side with no
+# shuffle at all.
+_CHUNK, _STRIDE = 32, 24
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_WS} AS ws, len({_WS}) AS n FROM documents
+), c AS (
+  SELECT doc_id, ws, n,
+         CASE WHEN n <= {_CHUNK} THEN 1
+              ELSE 1 + (n - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE} END AS n_chunks
+  FROM t
+), e AS (
+  SELECT doc_id, ws, n, unnest(range(0, n_chunks)) AS k FROM c
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_idx,
+       CAST(k * {_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST({_CHUNK}, n - k * {_STRIDE}) AS BIGINT) AS chunk_len,
+       ws[k * {_STRIDE} + 1] AS first_tok,
+       ws[k * {_STRIDE} + LEAST({_CHUNK}, n - k * {_STRIDE})] AS last_tok
+FROM e
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("text_doc_chunking", oracle=_CHUNK_ORACLE, tags=("text", "llm"))
+def text_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunk splitter (chunk=32 tokens, stride=24)
+    for LLM pretraining windows. explode(sequence(0, n_chunks-1)) is a
+    map-side fan-out — no shuffle, and chunk boundaries are integer-exact
+    in both engines."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), " ").alias("ws"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n"),
+    )
+    c = t.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= _CHUNK, F.lit(1)).otherwise(
+            1 + F.floor((F.col("n") - _CHUNK + _STRIDE - 1) / _STRIDE).cast("int")
+        ),
+    )
+    e = c.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("k"),
+    )
+    start = F.col("k") * _STRIDE
+    clen = F.least(F.lit(_CHUNK), F.col("n") - start)
+    return e.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        clen.cast("long").alias("chunk_len"),
+        F.element_at("ws", (start + 1).cast("int")).alias("first_tok"),
+        F.element_at("ws", (start + clen).cast("int")).alias("last_tok"),
+    ).orderBy("doc_id", "chunk_idx")

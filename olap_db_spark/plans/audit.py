@@ -100,6 +100,36 @@ _FLAGSHIP_CHECKS = {
         ("Arrow-batched synth", "ArrowEvalPython"),
         ("Arrow-batched sample+decode", "MapInPandas"),
     ],
+    # round-5 operators' plan promises
+    "ts_sequence_match": [
+        # cumulative seen-flag chain: window ops only — a per-user
+        # self-join would show up as a Join node
+        ("no pairwise join", "!Join"),
+        ("user-timeline windows", "Window ["),
+    ],
+    "join_asof_nearest": [
+        # nearest-match via running last/first over ONE sorted pass — any
+        # Join node means the quadratic range-join crept back in
+        ("no range join", "!Join"),
+        ("timeline windows", "Window ["),
+    ],
+    "agg_sum_map": [
+        # two-level rollup: the (day, type) pre-aggregate must combine
+        # map-side before the map-fold
+        ("pre-aggregation", "partial_count"),
+    ],
+    "agg_median_exact": [
+        ("partial aggregation", "partial_count"),
+    ],
+    "text_pii_redact": [
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "text_repetition_stats": [
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "text_doc_chunking": [
+        ("map-side fan-out", "Generate explode"),
+    ],
     "scale_interval_bucket_join": [
         # the overlap theta-predicate must ride an equi-join on the bucket
         # id, not a quadratic join (the sole BroadcastNestedLoopJoin in

@@ -61,84 +61,72 @@ _LOADED = False
 # earn a CORRECTNESS row each round. Names listed here come first (in this
 # order); everything else follows in registration order.
 #
-# Round-4 rotation: slots 1-2 are the two round-3 hash-red queries
-# (window_range_frame, dedup_keep_latest — root cause: the regenerated
-# testdata switched events.ts from nanos to micros; catalog.py now detects
-# the unit) so they re-earn green rows first. Then every query whose latest
-# driver row predates round 3 — led by the events-based ts_* family, whose
-# shared loader is exactly what changed this round — then the 7 queries NEW
-# in round 4 (never driver-checked). Squeezed out to fit 50:
-# sample_bernoulli / meta_select_one / scale_* (r02-green, code untouched)
-# and the flagships (hash-green in CORRECTNESS_r03.json, unchanged).
+# Round-5 rotation: slots 1-4 are the four round-4 hash-red queries,
+# re-engineered at end of round 4 to emit only exact integers/digit-strings
+# (no quantized transcendentals) — they re-earn green rows first. Slots 5-6
+# are the new rows-only float companions split out of bm25/bigram. Then the
+# 15 queries whose latest driver row is still round 2, then the 22 round-3-
+# checked queries living in modules round 4 edited (aggregates, scalar_funcs,
+# windows, metadata_ops, multimodal_ops — local parity green, but the driver
+# has not re-seen them on current code), then the 7 queries NEW in round 5.
+# Everything r4-green on untouched code rotates out (46 queries, all green
+# in CORRECTNESS_r04.json).
 _PRIORITY: tuple[str, ...] = (
-    # round-3 reds, repaired this round (catalog ts-unit detection)
-    "window_range_frame",
-    "dedup_keep_latest",
-    # events-based time series (loader changed this round: unit detection)
-    "ts_tumbling_window",
-    "ts_sliding_window",
-    "ts_session_window",
-    "ts_asof_prior_click",
-    "ts_daily_rollup",
-    "ts_gap_fill",
-    "ts_funnel",
-    "ts_cohort_retention",
-    "agg_histogram",
-    # flagships not seen since r02
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q19_brand_band_revenue",
-    # aggregates not seen since r02
-    "agg_approx_count_distinct",
-    "agg_pivot",
-    "agg_percentile_approx",
-    # scalar families not seen since r02
-    "func_json_extract",
-    # text-analysis family (r02-only; stats/lang-id/fingerprint rotate
-    # out this round to make room for never-checked queries)
-    # (text_quality_signals/token_count rotate out: the signals function
-    # is exercised inside in-window pipeline_corpus_curation)
-    # (text_quality_filter's rule is re-exercised by in-window
-    # pipeline_corpus_curation)
-    "text_pack_sequences",
-    # fuzzy dedup family (r02-only; dedup_exact's rule is re-exercised by
-    # pipeline_corpus_curation, which is in-window)
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    # similarity / ANN family (r02-only)
-    "sim_knn_bruteforce",
-    "sim_ann_lsh",
-    "sim_ivf_kmeans",
-    # (sim_ivf_centroids' path is a subset of in-window sim_ivf_search)
-    "sim_ivf_search",
-    "sim_pq_search",
-    # multimodal (r02-only)
-    "mm_real_decode_stats",
-    # metadata (r02-only)
-    "meta_show_tables",
-    # NEW in round 4 — never driver-checked
-    "agg_argmax_family",
-    "agg_topk_per_key",
-    "agg_ohlc_hourly",
-    "text_tfidf_topterms",
-    "text_bm25_search",
-    "func_regexp_family",
-    "mm_audio_rms_windows",
-    "agg_hll_mergeable",
+    # round-4 hash-reds, re-engineered (integer-only hashed outputs)
+    "agg_corr_covar",
     "pipeline_corpus_curation",
     "text_bigram_lm_nll",
-    "scale_interval_bucket_join",
-    "mm_video_frame_sample",
-    "agg_corr_covar",
-    "window_distribution",
-    "func_bitwise_family",
-    "fuzzy_levenshtein_match",
-    "func_date_arith",
-    "agg_string_agg",
-    "text_contamination_check",
+    "text_bm25_search",
+    # rows-only float companions (new at end of round 4, never checked)
+    "text_bm25_topk",
+    "text_bigram_nll_topk",
+    # latest driver row is round 2
+    "dedup_exact",
+    "func_math_family",
+    "meta_select_one",
+    "mm_binary_features",
+    "sample_bernoulli",
+    "sample_stratified",
+    "scale_repartition_agg",
+    "scale_salted_skew_join",
+    "sim_ivf_centroids",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_filter",
+    "text_quality_signals",
+    "text_stats_by_lang",
+    "text_token_count_bpe",
+    # round-3-checked queries in modules round 4 touched
+    "agg_basic_stats",
+    "agg_collect_set",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_id",
+    "agg_grouping_sets",
+    "agg_quantiles",
+    "agg_rollup",
+    "agg_weighted_avg_pandas",
+    "func_array_ops",
+    "func_conditional",
+    "func_date_family",
+    "func_explode_wordcount",
+    "func_split_key_epoch",
+    "func_string_family",
+    "func_url_normalize",
+    "window_lag_lead",
+    "window_ranking",
+    "window_running_sum",
+    "meta_show_create_table",
+    "meta_show_databases",
+    "mm_decode_resize_stats",
+    # NEW in round 5 — never driver-checked
+    "ts_sequence_match",
+    "agg_median_exact",
+    "agg_sum_map",
+    "join_asof_nearest",
+    "text_pii_redact",
+    "text_repetition_stats",
+    "text_doc_chunking",
 )
 
 

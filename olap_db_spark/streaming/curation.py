@@ -1,0 +1,79 @@
+"""Streaming twin of the corpus-curation pipeline (operators/
+text_analysis.pipeline_corpus_curation) — the continuous-ingest shape of a
+training-data pipeline: documents arrive as files, pass the SAME quality
+filter (integer cross-product thresholds), and are exact-deduped with
+watermark-BOUNDED state via ``dropDuplicatesWithinWatermark``.
+
+The batch pipeline is the oracle (tests/test_streaming_curation.py asserts
+stream==batch on the replayed fixture), mirroring how the events windows are
+verified.
+
+Scale: the quality filter is stateless map/filter work; dedup state is one
+watermark-interval of 16-byte fingerprints per partition — bounded however
+long the job runs, which is precisely what an unbounded-state
+``dropDuplicates`` would NOT give at 100 TB/day ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.text import quality_signals
+
+_DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-stream over documents parquet. Documents carry no event time,
+    so a deterministic synthetic ingest timestamp (epoch + doc_id seconds)
+    stands in — the same role an object-store arrival time plays in a real
+    continuous-ingest job, but reproducible for the stream==batch test."""
+    raw = spark.readStream.schema(_DOCS_SCHEMA).parquet(docs_dir)
+    return raw.withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+    )
+
+
+def curate_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Quality filter → watermarked exact dedup, the streaming form of the
+    batch pipeline's first two stages (same thresholds, same fingerprint).
+
+    Batch keeps the LOWEST doc_id per fingerprint; the file stream replays
+    rows in doc_id order, and ``dropDuplicatesWithinWatermark`` keeps the
+    first arrival, so the two agree on the fixture — asserted by the test,
+    not assumed."""
+    sig = quality_signals(F.col("text"))
+    quality = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        "ingest_ts",
+        sig["n_tokens"].cast("long").alias("n_tokens"),
+        sig["n_uniq"].cast("long").alias("_uniq"),
+        sig["stop_hits_en"].cast("long").alias("_stop"),
+    ).filter(
+        (F.col("n_tokens") >= 30)
+        & (F.col("_uniq") * 10 >= F.col("n_tokens") * 3)
+        & (F.col("_stop") * 2 <= F.col("n_tokens"))
+    )
+    fp = quality.withColumn("fp", F.md5(F.lower(F.trim(F.col("text")))))
+    return (
+        fp.withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("doc_id", "lang", "n_tokens")
+    )

@@ -1,0 +1,82 @@
+"""Streaming corpus-curation twin vs the batch pipeline (the one
+LLM-pipeline operator that had no streaming variant before round 5). The
+batch `pipeline_corpus_curation` stages are the ground truth."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olap_db_spark.catalog import load
+from olap_db_spark.functions.text import quality_signals
+from olap_db_spark.streaming.curation import curate_stream, stream_documents
+from olap_db_spark.streaming.windows import run_available_now
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(f"{SF}/documents.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _batch_kept(spark):
+    """The batch pipeline's quality->dedup stages (same code path as
+    pipeline_corpus_curation, minus the per-lang report)."""
+    d = load(spark, SF, "documents")
+    sig = quality_signals(F.col("text"))
+    quality = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        sig["n_tokens"].cast("long").alias("n_tokens"),
+        sig["n_uniq"].cast("long").alias("_uniq"),
+        sig["stop_hits_en"].cast("long").alias("_stop"),
+    ).filter(
+        (F.col("n_tokens") >= 30)
+        & (F.col("_uniq") * 10 >= F.col("n_tokens") * 3)
+        & (F.col("_stop") * 2 <= F.col("n_tokens"))
+    )
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    return (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+def test_streaming_curation_equals_batch(spark, docs_stream_dir):
+    rows = run_available_now(
+        curate_stream(stream_documents(spark, docs_stream_dir)),
+        "t_curation",
+        "append",
+    )
+    got = {(r["doc_id"], r["lang"], r["n_tokens"]) for r in rows}
+    want = {
+        (r["doc_id"], r["lang"], r["n_tokens"]) for r in _batch_kept(spark).collect()
+    }
+    assert got == want
+    assert got, "stream kept no documents"
+
+
+def test_streaming_curation_dedups_replays(spark, tmp_path):
+    """Replaying the same corpus file twice must not double the kept set —
+    the watermarked dedup state absorbs the duplicates."""
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", dup_dir / "a.parquet")
+    shutil.copy(f"{SF}/documents.parquet", dup_dir / "b.parquet")
+    rows = run_available_now(
+        curate_stream(stream_documents(spark, str(dup_dir))),
+        "t_curation_dup",
+        "append",
+    )
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "duplicates survived the watermark dedup"
+    want_n = _batch_kept(spark).count()
+    assert len(set(ids)) == want_n
