@@ -85,6 +85,11 @@ _FLAGSHIP_CHECKS = {
         ("df + N broadcast onto tf", "BroadcastHashJoin"),
     ],
     "text_bm25_search": [
+        # round-4 split: this query now emits the exact integer postings
+        # (sorted, full output); the top-10 ranking lives in text_bm25_topk
+        ("corpus scalars broadcast", "BroadcastHashJoin"),
+    ],
+    "text_bm25_topk": [
         ("corpus scalars broadcast", "BroadcastHashJoin"),
         ("top-10 (no full sort)", "TakeOrderedAndProject"),
     ],
