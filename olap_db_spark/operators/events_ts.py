@@ -636,3 +636,58 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- per-user lifetime / activity profile ----------------------------------------
+
+# Exact integer microseconds (unix_micros / epoch_us) — no float rounding,
+# no truncation ambiguity between engines.
+_LIFETIME_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS lifetime_us,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("ts_user_lifetime", oracle=_LIFETIME_ORACLE, tags=("events",))
+def ts_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime/activity profile — the user-grain rollup behind
+    retention and LTV analyses (the reference's per-domain daily grain,
+    SURVEY.md §1.1, transposed to the user axis).
+
+    One hash aggregation keyed by user_id; min/max/count aggregate
+    map-side, the two COUNT(DISTINCT …) expand to the standard two-phase
+    partial-distinct plan Catalyst generates (still one user-keyed shuffle).
+    Timestamps are compared as exact integer microseconds
+    (unix_micros/epoch_us) so the lifetime arithmetic is
+    rounding-free in both engines. At 100 TB this is the canonical
+    "profile table" build: shuffle keyed on the user, no window, no join.
+    """
+    e = load(spark, sf_dir, "events")
+    # catalog reconstructs ts as TIMESTAMP_NTZ; the session timezone is
+    # pinned to UTC (session.py:74), so the ltz cast is the identity
+    # naive-as-UTC interpretation DuckDB's epoch_us applies.
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(us).alias("first_us"),
+            F.max(us).alias("last_us"),
+            (F.max(us) - F.min(us)).alias("lifetime_us"),
+            F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchases"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -222,3 +222,79 @@ def scale_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("campaign_id")
     )
+
+
+# --- z-order (Morton) data layout ------------------------------------------------
+
+# Interleave the low 8 bits of two dimensions into a 16-bit Morton code.
+# Pure integer shift/mask arithmetic, written identically in both engines,
+# so the layout statistics are hash-verified bit-for-bit.
+_Z_BITS = 8
+
+
+def _z_interleave(x, y):
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+_Z_SQL = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+_ZORDER_ORACLE = f"""
+WITH dims AS (
+  SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS y
+  FROM orders
+),
+z AS (SELECT x, y, CAST({_Z_SQL} AS BIGINT) AS zval FROM dims)
+SELECT CAST(zval // 64 AS BIGINT) AS zcell,
+       COUNT(*) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y
+FROM z GROUP BY zcell ORDER BY zcell
+"""
+
+
+@register("scale_zorder_layout", oracle=_ZORDER_ORACLE, tags=("scale",))
+def scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-code) layout statistics over two orders dimensions.
+
+    Interleaves the low 8 bits of (o_custkey, order-day) into a 16-bit
+    Morton code and reports, per 64-code z-cell, the row count and the
+    min/max extent of BOTH source dimensions — the property that makes
+    z-ordering useful: every cell is a small rectangle in (x, y) space, so
+    parquet row-group min/max stats prune scans for predicates on EITHER
+    dimension (multi-dimensional data skipping, the same layout trick behind
+    Delta/Iceberg Z-ORDER table maintenance).
+
+    At 100 TB the write path is `df.repartitionByRange(N, "zval")
+    .sortWithinPartitions("zval")` before the parquet write (exercised in
+    tests/test_zorder_layout.py); this query verifies the cell-extent
+    invariant the skipping relies on. The code itself is pure integer
+    shift/mask column arithmetic — whole-stage-codegen'd, no UDFs.
+    """
+    o = load(spark, sf_dir, "orders")
+    dims = o.select(
+        (F.col("o_custkey") % 256).cast("long").alias("x"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+            % 256
+        ).cast("long").alias("y"),
+    )
+    z = dims.select("x", "y", _z_interleave(F.col("x"), F.col("y")).alias("zval"))
+    return (
+        z.groupBy(F.floor(F.col("zval") / 64).cast("long").alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("zcell")
+    )

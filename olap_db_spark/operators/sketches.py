@@ -1,0 +1,245 @@
+"""Probabilistic sketch operators: count-min frequency sketch and a
+distributed Bloom-filter semi-join accelerator.
+
+The reference's backend is ClickHouse (/root/reference/docker-compose.yml:4),
+whose standard analytics toolbox ships frequency sketches and set-membership
+filters next to uniq/topK (already covered by ``agg_hll_mergeable`` /
+``agg_topk_per_key``). Both operators here follow the same design rule as the
+HLL rollup: the sketch STATE is a small DataFrame of exact integers built with
+one hash aggregation, so it is mergeable (associative, commutative) and the
+driver can hash-verify it bit-for-bit against DuckDB.
+
+Portable hash family (same recipe as fuzzy_dedup.py minhash): slice hex out
+of md5-on-string and reinterpret as an integer —
+  Spark : conv(substr(md5(s), 1, 8), 16, 10) cast long
+  DuckDB: CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+verified bit-identical across both engines.
+
+Scale notes (100 TB):
+- The CMS counter table is depth×width rows regardless of input size; Spark
+  computes it as one map-side-combined hash aggregation — the per-partition
+  partial tables ARE per-partition sketches and the shuffle merges
+  depth×width rows per partition, not data.
+- The Bloom bitmap is ``words`` rows of bit_or-merged longs — the same
+  partial-agg/merge shape. Probing is map-only: K broadcast hash joins
+  against the bitmap table, no shuffle of the fact side. This is exactly the
+  runtime-filter pattern Spark's own ``spark.sql.optimizer.runtime.bloomFilter``
+  applies internally (not SQL-invocable in 4.x, so we build the state as a
+  first-class DataFrame — which also makes it persistable and reusable
+  across queries, unlike the optimizer-internal one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+from ._determinism import sql_fixed_sum
+
+# --- count-min sketch --------------------------------------------------------------
+
+_CMS_D = 4  # independent hash rows
+_CMS_W = 256  # buckets per row
+
+
+def _md5_int(col, prefix, hexlen=8):
+    """Portable md5-derived integer: first `hexlen` hex chars as a long."""
+    return F.conv(F.substring(F.md5(F.concat_ws("|", prefix, col)), 1, hexlen), 16, 10).cast(
+        "long"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH ks AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+cells AS (
+  SELECT CAST(ds.d AS BIGINT) AS d,
+         CAST('0x' || substr(md5(CAST(ds.d AS VARCHAR) || '|' || k), 1, 8) AS BIGINT)
+           % {_CMS_W} AS bucket
+  FROM ks, (SELECT unnest(range({_CMS_D})) AS d) ds
+)
+SELECT d, bucket, COUNT(*) AS cnt
+FROM cells GROUP BY d, bucket ORDER BY d, bucket
+"""
+
+
+@register("agg_count_min_sketch", oracle=_CMS_ORACLE, tags=("agg", "sketch"))
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of `l_partkey` frequencies: a depth×width (4×256)
+    counter table (the mergeable sketch state, every cell an exact integer).
+
+    Point estimate for any key = min over d of cell[d][hash_d(key)], an
+    upper bound on the true count (checked in tests/test_sketches.py along
+    with the ~e·N/width error bound). One hash aggregation; partial
+    aggregation per partition IS the per-partition sketch, and the merge
+    shuffles at most depth×width rows per partition.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    cells = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("d"),
+                        (_md5_int(F.col("k"), F.lit(str(d))) % _CMS_W).alias("bucket"),
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("d", "bucket")
+    )
+
+
+def cms_estimate(spark: SparkSession, sf_dir: str, keys: list[int]) -> dict[int, int]:
+    """Point-estimate helper used by tests: min over depth rows.
+
+    Collects only the depth×width counter table (bounded, data-independent
+    size) — the same bounded-index-build pattern as the PQ codebook.
+    """
+    counters = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in agg_count_min_sketch(spark, sf_dir).collect()
+    }
+    probe = spark.createDataFrame([(str(k),) for k in keys], "k string").select(
+        "k",
+        *[(_md5_int(F.col("k"), F.lit(str(d))) % _CMS_W).alias(f"b{d}") for d in range(_CMS_D)],
+    )
+    out = {}
+    for row in probe.collect():
+        out[int(row["k"])] = min(
+            counters.get((d, row[f"b{d}"]), 0) for d in range(_CMS_D)
+        )
+    return out
+
+
+# --- distributed Bloom-filter semi-join --------------------------------------------
+
+_BLOOM_K = 3  # hash functions
+_BLOOM_WORDS = 16384  # 32-bit words → 2^19 bits total
+_BLOOM_BITS = _BLOOM_WORDS * 32
+
+_BLOOM_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {sql_fixed_sum('l_extendedprice', 100)} AS sum_price
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str) -> DataFrame:
+    """Build the Bloom bitmap as a DataFrame: (word_idx, w) with w the
+    bit_or of 32-bit masks. At most _BLOOM_WORDS rows regardless of input size."""
+    cells = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        _md5_int(F.col(key_col).cast("string"), F.lit(str(j)))
+                        % _BLOOM_BITS
+                    ).alias(f"p{j}")
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    ).select(
+        F.floor(F.col("pos") / 32).cast("long").alias("word_idx"),
+        (F.col("pos") % 32).cast("int").alias("bit"),
+    )
+    return cells.groupBy("word_idx").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("w")
+    )
+
+
+@register("scale_bloom_semi_join", oracle=_BLOOM_ORACLE, tags=("scale", "sketch", "join"))
+def scale_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join accelerated by a hand-built distributed Bloom filter.
+
+    Build: urgent-order keys → K=3 hash positions → bit_or-merged
+    32-bit words (≤ 16384 rows — mergeable sketch state, exactly the
+    shape Spark's internal runtime bloom filter materializes). Probe: the
+    fact side computes its K (word_idx, mask) pairs and checks them
+    via K broadcast hash joins — map-only, no fact-side shuffle. A
+    final exact semi-join removes false positives, so the RESULT equals the
+    plain semi-join the oracle computes; what the Bloom pass buys at 100 TB
+    is shuffle volume: rows failing the bitmap (the vast majority when the
+    dim is selective) never reach the exact join's exchange.
+
+    Bloom property checked in tests/test_sketches.py: zero false negatives,
+    and the prefilter passes fewer rows than the full fact table.
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bitmap = bloom_bitmap(o, "o_orderkey")
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    probe = li
+    for j in range(_BLOOM_K):
+        pos = _md5_int(F.col("l_orderkey").cast("string"), F.lit(str(j))) % _BLOOM_BITS
+        probe = (
+            probe.withColumn(f"wi{j}", F.floor(pos / 32).cast("long"))
+            .withColumn(f"b{j}", (pos % 32).cast("int"))
+            .withColumn(f"m{j}", F.expr(f"shiftleft(CAST(1 AS BIGINT), b{j})"))
+        )
+    for j in range(_BLOOM_K):
+        bj = F.broadcast(bitmap.withColumnRenamed("word_idx", f"wi{j}").withColumnRenamed("w", f"w{j}"))
+        probe = probe.join(bj, f"wi{j}", "left")
+        probe = probe.filter(F.col(f"w{j}").bitwiseAND(F.col(f"m{j}")) == F.col(f"m{j}"))
+
+    exact = probe.select("l_orderkey", "l_returnflag", "l_extendedprice").join(
+        F.broadcast(o), probe["l_orderkey"] == o["o_orderkey"], "left_semi"
+    )
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def bloom_prefilter_count(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
+    """Test helper: (fact rows, rows passing the Bloom prefilter, true semi-join
+    rows). Candidates must satisfy true ≤ candidates ≤ fact."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bitmap = bloom_bitmap(o, "o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    probe = li
+    for j in range(_BLOOM_K):
+        pos = _md5_int(F.col("l_orderkey").cast("string"), F.lit(str(j))) % _BLOOM_BITS
+        probe = (
+            probe.withColumn(f"wi{j}", F.floor(pos / 32).cast("long"))
+            .withColumn(f"b{j}", (pos % 32).cast("int"))
+            .withColumn(f"m{j}", F.expr(f"shiftleft(CAST(1 AS BIGINT), b{j})"))
+        )
+        bj = F.broadcast(bitmap.withColumnRenamed("word_idx", f"wi{j}").withColumnRenamed("w", f"w{j}"))
+        probe = probe.join(bj, f"wi{j}", "left").filter(
+            F.col(f"w{j}").bitwiseAND(F.col(f"m{j}")) == F.col(f"m{j}")
+        )
+    n_fact = li.count()
+    n_cand = probe.count()
+    n_true = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"], "left_semi").count()
+    return n_fact, n_cand, n_true

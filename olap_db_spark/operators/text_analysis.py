@@ -784,3 +784,146 @@ def text_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ws", (start + 1).cast("int")).alias("first_tok"),
         F.element_at("ws", (start + clen).cast("int")).alias("last_tok"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# --- corpus-wide top-k n-grams ---------------------------------------------------
+
+_NGRAM_TOPK = 5
+
+# DuckDB zips parallel unnests of equal-length lists positionally (same
+# pattern as the bigram extraction in relevance.py); three aligned slices
+# give the trigram stream without enumerating positions.
+_NGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, string_split(trim(text), ' ') AS l FROM documents
+),
+grams AS (
+  SELECT lang,
+         unnest(l[1:len(l) - 2]) || ' ' || unnest(l[2:len(l) - 1]) || ' ' || unnest(l[3:len(l)]) AS gram
+  FROM toks WHERE len(l) >= 3
+),
+counted AS (
+  SELECT lang, gram, COUNT(*) AS cnt FROM grams GROUP BY lang, gram
+),
+ranked AS (
+  SELECT lang, gram, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS rn
+  FROM counted
+)
+SELECT lang, CAST(rn AS BIGINT) AS rn, gram, cnt
+FROM ranked WHERE rn <= {_NGRAM_TOPK}
+ORDER BY lang, rn
+"""
+
+
+@register("text_ngram_topk", oracle=_NGRAM_ORACLE, tags=("text",))
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-5 trigrams per language — the n-gram census behind
+    boilerplate detection and contamination blocklists in training-data
+    pipelines.
+
+    Trigram stream via slice+arrays_zip (one array op per document, no
+    position explode); count is a single hash aggregation with map-side
+    combine, and per-language ranking is a window over the (tiny)
+    aggregated n-gram table, not the corpus. Ties broken by the gram string
+    so the result is a total order. At 100 TB the grouped table is the only
+    shuffle, already reduced by partial aggregation; a hub cap
+    (filter cnt >= min_support before the window) bounds the ranked set.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.split(F.trim(F.col("text")), " ").alias("l")).filter(
+        F.size("l") >= 3
+    )
+    grams = toks.select(
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(l, 1, size(l) - 2)").alias("w1"),
+                F.expr("slice(l, 2, size(l) - 2)").alias("w2"),
+                F.expr("slice(l, 3, size(l) - 2)").alias("w3"),
+            )
+        ).alias("t"),
+    ).select("lang", F.concat_ws(" ", "t.w1", "t.w2", "t.w3").alias("gram"))
+    counted = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _NGRAM_TOPK)
+        .select("lang", "rn", "gram", "cnt")
+        .orderBy("lang", "rn")
+    )
+
+
+# --- deterministic domain-mixture sampling ---------------------------------------
+
+# Target mixture: per-source keep rates in basis points (of 10000). Derived
+# from the source index so the spec is visible in one line; a real pipeline
+# would load this as a config table. src0,src4,... keep 20%; src1,src5,...
+# 40%; src2,src6,... 60%; src3,src7,... 80%.
+_MIX_RATES_BPS = {f"src{i}": 2000 * (i % 4 + 1) for i in range(20)}
+
+_MIX_VALUES = ", ".join(f"('{s}', {r})" for s, r in sorted(_MIX_RATES_BPS.items()))
+
+_MIX_ORACLE = f"""
+WITH rates(source, rate_bps) AS (VALUES {_MIX_VALUES}),
+d AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5('mix' || '|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 10000 AS u
+  FROM documents
+)
+SELECT d.source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN u < r.rate_bps THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN u < r.rate_bps THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM d JOIN rates r ON d.source = r.source
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register("text_domain_mixture", oracle=_MIX_ORACLE, tags=("text", "sample"))
+def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture downsampling — hit per-source target
+    proportions (the data-mixing step of a training-data pipeline) with a
+    content-addressed coin: keep doc iff md5('mix|' || doc_id) % 10000 <
+    rate_bps[source].
+
+    Hash-based (not rand()) so the sample is reproducible across runs,
+    engines, and retries — re-running the pipeline on 100 TB yields the
+    byte-identical subset, and adding a source never reshuffles another
+    source's sample. The per-source rate table is a broadcast dim (20 rows);
+    the scan stays map-only into one partial-aggregated groupBy. Output
+    reports per-source totals, kept counts, and an integer checksum of kept
+    doc_ids so the driver hash-verifies WHICH docs were kept, not just how
+    many.
+    """
+    d = load(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        sorted(_MIX_RATES_BPS.items()), "source string, rate_bps int"
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("mix"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    kept = F.col("u") < F.col("rate_bps")
+    return (
+        d.select("doc_id", "source")
+        .withColumn("u", u)
+        .join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id")).otherwise(0)).alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )

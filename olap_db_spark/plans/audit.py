@@ -135,6 +135,36 @@ _FLAGSHIP_CHECKS = {
     "text_doc_chunking": [
         ("map-side fan-out", "Generate explode"),
     ],
+    "agg_count_min_sketch": [
+        # per-partition partial counter tables ARE per-partition sketches
+        ("map-side sketch merge", "partial_count"),
+    ],
+    "scale_bloom_semi_join": [
+        # bitmap probe + exact semi-join must both broadcast — a
+        # SortMergeJoin would mean the fact side shuffled
+        ("broadcast probe", "BroadcastHashJoin"),
+        ("no fact-side shuffle join", "!SortMergeJoin"),
+        ("partial aggregation", "partial_"),
+    ],
+    "scale_zorder_layout": [
+        # pure shift/mask column arithmetic into one hash aggregate
+        ("partial aggregation", "partial_"),
+        ("no window pass", "!Window ["),
+    ],
+    "text_ngram_topk": [
+        # the window ranks the aggregated n-gram table, so the count's
+        # partial aggregate must sit below it
+        ("count pre-aggregation", "partial_count"),
+        ("rank over aggregated table", "Window ["),
+    ],
+    "text_domain_mixture": [
+        ("rate dim broadcast", "BroadcastHashJoin"),
+        ("partial aggregation", "partial_"),
+    ],
+    "ts_user_lifetime": [
+        ("partial aggregation", "partial_"),
+        ("no window pass", "!Window ["),
+    ],
     "scale_interval_bucket_join": [
         # the overlap theta-predicate must ride an equi-join on the bucket
         # id, not a quadratic join (the sole BroadcastNestedLoopJoin in

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "olap_db_spark.operators.kmeans",
     "olap_db_spark.operators.arg_aggregates",
     "olap_db_spark.operators.relevance",
+    "olap_db_spark.operators.sketches",
 )
 
 
@@ -65,12 +66,15 @@ _LOADED = False
 # re-engineered at end of round 4 to emit only exact integers/digit-strings
 # (no quantized transcendentals) — they re-earn green rows first. Slots 5-6
 # are the new rows-only float companions split out of bm25/bigram. Then the
-# 15 queries whose latest driver row is still round 2, then the 22 round-3-
-# checked queries living in modules round 4 edited (aggregates, scalar_funcs,
-# windows, metadata_ops, multimodal_ops — local parity green, but the driver
-# has not re-seen them on current code), then the 7 queries NEW in round 5.
-# Everything r4-green on untouched code rotates out (46 queries, all green
-# in CORRECTNESS_r04.json).
+# 15 queries whose latest driver row is still round 2, then the 13 queries
+# NEW in round 5 (7 early-round + 6 sketch/layout/mixture additions — never
+# driver-checked, so they outrank stale-but-green rows), then 16 of the 22
+# round-3-checked queries living in modules round 4 edited (aggregates,
+# scalar_funcs, windows, metadata_ops, multimodal_ops — local parity green,
+# but the driver has not re-seen them on current code; the 6 dropped to make
+# room are the metadata/scalar entries whose modules saw the lightest edits).
+# Everything r4-green on untouched code rotates out (all green in
+# CORRECTNESS_r04.json).
 _PRIORITY: tuple[str, ...] = (
     # round-4 hash-reds, re-engineered (integer-only hashed outputs)
     "agg_corr_covar",
@@ -96,29 +100,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_signals",
     "text_stats_by_lang",
     "text_token_count_bpe",
-    # round-3-checked queries in modules round 4 touched
-    "agg_basic_stats",
-    "agg_collect_set",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_id",
-    "agg_grouping_sets",
-    "agg_quantiles",
-    "agg_rollup",
-    "agg_weighted_avg_pandas",
-    "func_array_ops",
-    "func_conditional",
-    "func_date_family",
-    "func_explode_wordcount",
-    "func_split_key_epoch",
-    "func_string_family",
-    "func_url_normalize",
-    "window_lag_lead",
-    "window_ranking",
-    "window_running_sum",
-    "meta_show_create_table",
-    "meta_show_databases",
-    "mm_decode_resize_stats",
     # NEW in round 5 — never driver-checked
     "ts_sequence_match",
     "agg_median_exact",
@@ -127,6 +108,31 @@ _PRIORITY: tuple[str, ...] = (
     "text_pii_redact",
     "text_repetition_stats",
     "text_doc_chunking",
+    "agg_count_min_sketch",
+    "scale_bloom_semi_join",
+    "scale_zorder_layout",
+    "text_ngram_topk",
+    "text_domain_mixture",
+    "ts_user_lifetime",
+    # round-3-checked queries in modules round 4 touched (16 of 22; dropped
+    # agg_collect_set, agg_count_distinct, func_array_ops, func_conditional,
+    # meta_show_create_table, meta_show_databases to fit the 50-slot window)
+    "agg_basic_stats",
+    "agg_cube",
+    "agg_grouping_id",
+    "agg_grouping_sets",
+    "agg_quantiles",
+    "agg_rollup",
+    "agg_weighted_avg_pandas",
+    "func_date_family",
+    "func_explode_wordcount",
+    "func_split_key_epoch",
+    "func_string_family",
+    "func_url_normalize",
+    "window_lag_lead",
+    "window_ranking",
+    "window_running_sum",
+    "mm_decode_resize_stats",
 )
 
 
