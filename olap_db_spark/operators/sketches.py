@@ -9,11 +9,15 @@ HLL rollup: the sketch STATE is a small DataFrame of exact integers built with
 one hash aggregation, so it is mergeable (associative, commutative) and the
 driver can hash-verify it bit-for-bit against DuckDB.
 
-Portable hash family (same recipe as fuzzy_dedup.py minhash): slice hex out
-of md5-on-string and reinterpret as an integer —
-  Spark : conv(substr(md5(s), 1, 8), 16, 10) cast long
-  DuckDB: CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
-verified bit-identical across both engines.
+Hash families, chosen per constraint:
+- The CMS counter table IS the hashed query output, so its hash must be
+  computable identically in DuckDB: 8-hex slices of ONE md5 digest per row
+  (same recipe as fuzzy_dedup.py minhash — Spark conv(hex,16,10), DuckDB
+  CAST('0x'||hex AS BIGINT), verified bit-identical).
+- The Bloom bitmap is internal state (the oracle checks the plain
+  semi-join result, not the bitmap), so build and probe only need to agree
+  with EACH OTHER → JVM-native xxhash64(key, seed) on the hot path: no
+  string cast, no hex parse — the right per-row cost at 100 TB fact scale.
 
 Scale notes (100 TB):
 - The CMS counter table is depth×width rows regardless of input size; Spark
@@ -44,24 +48,44 @@ _CMS_D = 4  # independent hash rows
 _CMS_W = 256  # buckets per row
 
 
-def _md5_int(col, prefix, hexlen=8):
-    """Portable md5-derived integer: first `hexlen` hex chars as a long."""
-    return F.conv(F.substring(F.md5(F.concat_ws("|", prefix, col)), 1, hexlen), 16, 10).cast(
-        "long"
-    )
+def _digest_slots(col, prefix: str, n: int) -> list:
+    """n independent 32-bit hashes from ONE md5 digest: 8-hex-char slices
+    reinterpreted as longs (the fuzzy_dedup.py minhash trick — the dominant
+    md5 cost is paid once per row, the n slices are near-free). n ≤ 4."""
+    dig = F.md5(F.concat_ws("|", F.lit(prefix), col))
+    return [
+        F.conv(F.substring(dig, 1 + 8 * j, 8), 16, 10).cast("long") for j in range(n)
+    ]
 
 
 _CMS_ORACLE = f"""
-WITH ks AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+WITH ks AS (SELECT md5('cms' || '|' || CAST(l_partkey AS VARCHAR)) AS dig FROM lineitem),
 cells AS (
   SELECT CAST(ds.d AS BIGINT) AS d,
-         CAST('0x' || substr(md5(CAST(ds.d AS VARCHAR) || '|' || k), 1, 8) AS BIGINT)
-           % {_CMS_W} AS bucket
+         CAST('0x' || substr(dig, 1 + 8 * ds.d, 8) AS BIGINT) % {_CMS_W} AS bucket
   FROM ks, (SELECT unnest(range({_CMS_D})) AS d) ds
 )
 SELECT d, bucket, COUNT(*) AS cnt
 FROM cells GROUP BY d, bucket ORDER BY d, bucket
 """
+
+
+def cms_cell_structs(key_col):
+    """Exploded (d, bucket) cell stream for one string key column — ONE md5
+    per row, {_CMS_D} hex slices. Shared by the batch operator and the
+    streaming twin (streaming/sketches.py) so their states are comparable."""
+    slots = _digest_slots(key_col, "cms", _CMS_D)
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).cast("long").alias("d"),
+                    (slots[d] % _CMS_W).alias("bucket"),
+                )
+                for d in range(_CMS_D)
+            ]
+        )
+    )
 
 
 @register("agg_count_min_sketch", oracle=_CMS_ORACLE, tags=("agg", "sketch"))
@@ -71,29 +95,24 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Point estimate for any key = min over d of cell[d][hash_d(key)], an
     upper bound on the true count (checked in tests/test_sketches.py along
-    with the ~e·N/width error bound). One hash aggregation; partial
-    aggregation per partition IS the per-partition sketch, and the merge
-    shuffles at most depth×width rows per partition.
+    with the ~e·N/width error bound). Two-level aggregation: exact per-key
+    counts first (cheap long-keyed hash agg with map-side combine), THEN
+    the md5 family runs over the ~distinct keys only — at 100 TB the
+    expensive hash touches |keys| rows, not |events|, and the final merge
+    still shuffles at most depth×width rows per partition.
     """
-    li = load(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").cast("string").alias("k")
+    per_key = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("key_cnt"))
     )
-    cells = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).cast("long").alias("d"),
-                        (_md5_int(F.col("k"), F.lit(str(d))) % _CMS_W).alias("bucket"),
-                    )
-                    for d in range(_CMS_D)
-                ]
-            )
-        ).alias("c")
+    cells = per_key.select(
+        "key_cnt",
+        cms_cell_structs(F.col("l_partkey").cast("string")).alias("c"),
     )
     return (
         cells.groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("key_cnt").alias("cnt"))
         .orderBy("d", "bucket")
     )
 
@@ -110,7 +129,10 @@ def cms_estimate(spark: SparkSession, sf_dir: str, keys: list[int]) -> dict[int,
     }
     probe = spark.createDataFrame([(str(k),) for k in keys], "k string").select(
         "k",
-        *[(_md5_int(F.col("k"), F.lit(str(d))) % _CMS_W).alias(f"b{d}") for d in range(_CMS_D)],
+        *[
+            (s % _CMS_W).alias(f"b{d}")
+            for d, s in enumerate(_digest_slots(F.col("k"), "cms", _CMS_D))
+        ],
     )
     out = {}
     for row in probe.collect():
@@ -144,10 +166,9 @@ def bloom_bitmap(keys: DataFrame, key_col: str) -> DataFrame:
         F.explode(
             F.array(
                 *[
-                    (
-                        _md5_int(F.col(key_col).cast("string"), F.lit(str(j)))
-                        % _BLOOM_BITS
-                    ).alias(f"p{j}")
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(_BLOOM_BITS)).alias(
+                        f"p{j}"
+                    )
                     for j in range(_BLOOM_K)
                 ]
             )
@@ -190,16 +211,23 @@ def scale_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = li
     for j in range(_BLOOM_K):
-        pos = _md5_int(F.col("l_orderkey").cast("string"), F.lit(str(j))) % _BLOOM_BITS
+        pos = F.pmod(F.xxhash64(F.col("l_orderkey"), F.lit(j)), F.lit(_BLOOM_BITS))
         probe = (
             probe.withColumn(f"wi{j}", F.floor(pos / 32).cast("long"))
             .withColumn(f"b{j}", (pos % 32).cast("int"))
             .withColumn(f"m{j}", F.expr(f"shiftleft(CAST(1 AS BIGINT), b{j})"))
         )
     for j in range(_BLOOM_K):
-        bj = F.broadcast(bitmap.withColumnRenamed("word_idx", f"wi{j}").withColumnRenamed("w", f"w{j}"))
-        probe = probe.join(bj, f"wi{j}", "left")
-        probe = probe.filter(F.col(f"w{j}").bitwiseAND(F.col(f"m{j}")) == F.col(f"m{j}"))
+        # .alias (not withColumnRenamed) keeps the bitmap subtree
+        # canonically identical across the three probes, so Spark plans ONE
+        # BroadcastExchange and reuses it (ReusedExchange) for the others.
+        bj = bitmap.alias(f"bm{j}")
+        probe = probe.join(
+            F.broadcast(bj), F.col(f"wi{j}") == F.col(f"bm{j}.word_idx"), "left"
+        )
+        probe = probe.filter(
+            F.col(f"bm{j}.w").bitwiseAND(F.col(f"m{j}")) == F.col(f"m{j}")
+        )
 
     exact = probe.select("l_orderkey", "l_returnflag", "l_extendedprice").join(
         F.broadcast(o), probe["l_orderkey"] == o["o_orderkey"], "left_semi"
@@ -229,16 +257,16 @@ def bloom_prefilter_count(spark: SparkSession, sf_dir: str) -> tuple[int, int, i
     li = load(spark, sf_dir, "lineitem").select("l_orderkey")
     probe = li
     for j in range(_BLOOM_K):
-        pos = _md5_int(F.col("l_orderkey").cast("string"), F.lit(str(j))) % _BLOOM_BITS
+        pos = F.pmod(F.xxhash64(F.col("l_orderkey"), F.lit(j)), F.lit(_BLOOM_BITS))
         probe = (
             probe.withColumn(f"wi{j}", F.floor(pos / 32).cast("long"))
             .withColumn(f"b{j}", (pos % 32).cast("int"))
             .withColumn(f"m{j}", F.expr(f"shiftleft(CAST(1 AS BIGINT), b{j})"))
         )
-        bj = F.broadcast(bitmap.withColumnRenamed("word_idx", f"wi{j}").withColumnRenamed("w", f"w{j}"))
-        probe = probe.join(bj, f"wi{j}", "left").filter(
-            F.col(f"w{j}").bitwiseAND(F.col(f"m{j}")) == F.col(f"m{j}")
-        )
+        bj = bitmap.alias(f"bm{j}")
+        probe = probe.join(
+            F.broadcast(bj), F.col(f"wi{j}") == F.col(f"bm{j}.word_idx"), "left"
+        ).filter(F.col(f"bm{j}.w").bitwiseAND(F.col(f"m{j}")) == F.col(f"m{j}"))
     n_fact = li.count()
     n_cand = probe.count()
     n_true = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"], "left_semi").count()
