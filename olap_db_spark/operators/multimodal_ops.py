@@ -548,7 +548,12 @@ def mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame-sample/feature-extract shape for 100 TB media, where the
     binary column would hold object-store pointers instead of inline
     payloads."""
-    docs = load(spark, sf_dir, "documents")
+    # repartition by doc_id BEFORE the Python stages: the testdata is one
+    # parquet file (one partition), and the global orderBy's range-sampling
+    # pass re-executes the synth+decode chain — hash-spreading the docs
+    # parallelizes both executions across cores (2.3× at sf0.1). At 100 TB
+    # this is the standard "spread the expensive decode" repartition.
+    docs = load(spark, sf_dir, "documents").repartition(F.col("doc_id"))
     payloads = docs.select(
         "doc_id", _make_pcm_synth()(F.col("doc_id")).alias("payload")
     )
@@ -665,7 +670,10 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the closed-form pixel formula restricted to the sampled frames, so a
     sampling bug (stride, offset math) fails the hash, not just a decode
     bug."""
-    docs = load(spark, sf_dir, "documents")
+    # same spread-the-decode repartition as mm_audio_rms_windows: one input
+    # partition + orderBy's sampling pass would otherwise run the Python
+    # chain twice on one core
+    docs = load(spark, sf_dir, "documents").repartition(F.col("doc_id"))
     payloads = docs.select(
         "doc_id", _make_video_synth()(F.col("doc_id")).alias("payload")
     )
