@@ -1,0 +1,712 @@
+"""TPC-H completion batch — the 14 decision-support shapes the flagship
+module (``analytics.py``: q1/q3/q4/q5/q6/q14/q17/q19) does not cover.
+
+Together with ``analytics.py`` this gives the engine all 22 TPC-H query
+*shapes*, adapted to the reduced testdata star schema (no ``partsupp``
+table and no shipmode/commitdate/phone/comment columns — see TESTDATA.md).
+Where the original needs a missing column, the closest available stand-in
+keeps the plan shape intact and the adaptation is noted per query. The
+reference provisions this whole surface server-side
+(/root/reference/docker-compose.yml:4 deploys ClickHouse; all analytical
+SQL is backend-implied — SURVEY.md §2.3).
+
+Two implementation styles, deliberately:
+
+- **SQL surface** (q2, q15, q18, q20, q21, q22): the Spark side runs the
+  *identical* SQL string the DuckDB oracle runs, proving Catalyst's
+  decorrelation of correlated scalar subqueries, nested INs, and
+  EXISTS/NOT-EXISTS pairs produces the same result as a hand-planned join.
+- **DataFrame API** (q7, q8, q9, q10, q11, q12, q13, q16): hand-declared
+  plans showing the Spark-first shape — selective filters before joins,
+  broadcast dims, map-side partial aggregation, anti-joins for NOT IN.
+
+Determinism: every aggregated money column goes through the exact
+fixed-point integer path (``_determinism.py``) — per-row scaling is
+IEEE-identical in both engines, the BIGINT sum is order-independent, and
+any final division is a single double op written identically in both
+dialects. No quantized transcendentals are hashed (round-4 lesson).
+
+Scale notes (100 TB design point):
+- ``region``/``nation``/``supplier``/``part`` broadcast; fact-side joins
+  shuffle on their natural keys with AQE skew handling.
+- Correlated subqueries decorrelate into aggregate+join — no per-row
+  re-execution anywhere.
+- Top-k outputs are TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_views
+from ..registry import register
+from ._determinism import fixed_sum, scaled_long_sum, sql_fixed_sum
+
+# ---------------------------------------------------------------------------
+# q2 — minimum-cost supplier (correlated scalar MIN over a shared CTE)
+# ---------------------------------------------------------------------------
+# Adaptation: no partsupp, so the part↔supplier relation with a unit cost is
+# derived from lineitem (sum of exact price cents / sum of integer-valued
+# quantities — both order-independent, the division is one double op).
+
+_Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+           / 100.0 / SUM(l_quantity) AS unit_cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+FROM part p
+JOIN ps ON ps.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size = 15 AND p.p_type = 'SMALL' AND r.r_name = 'EUROPE'
+  AND ps.unit_cost = (SELECT MIN(ps2.unit_cost) FROM ps ps2
+                      JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+                      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                      WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE, tags=("subquery", "flagship"))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: correlated scalar MIN subquery over a shared CTE.
+
+    Catalyst decorrelates the per-part MIN into a grouped aggregate joined
+    back on partkey — the CTE is evaluated once per consumer branch and the
+    broadcast dims (supplier/nation/region) never shuffle the fact side.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume shipping between two nations (DataFrame API)
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_fixed_sum('volume', 10000)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         YEAR(CAST(l.l_shipdate AS DATE)) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", oracle=_Q7_ORACLE, tags=("join", "flagship"))
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: bidirectional nation-pair trade volume by ship year.
+
+    The two nation dims broadcast (25 rows each); the OR-of-pairs predicate
+    is applied *after* both broadcast joins, so it's a cheap in-memory
+    filter, never a nested loop. Fact joins shuffle on orderkey/custkey.
+    """
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate").cast("date") <= F.lit("1997-12-31"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
+        )
+        .agg(fixed_sum(volume, 10000).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 — market share of one nation inside a region's market (DataFrame API)
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT o_year,
+       CAST(SUM(CAST(ROUND(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END * 10000, 0) AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(ROUND(volume * 10000, 0) AS BIGINT)) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT YEAR(CAST(o.o_orderdate AS DATE)) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE, tags=("join", "flagship"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: national market share as a ratio of two exact sums.
+
+    Both numerator (CASE-gated) and denominator are order-independent
+    BIGINT sums of pre-scaled cents; the share is ONE double division
+    written identically in both engines — no float accumulation anywhere.
+    The 7-way join keeps part/supplier/nation/region broadcast.
+    """
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate").cast("date") <= F.lit("1997-12-31"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    gated = F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0))
+    return (
+        F.broadcast(p)
+        .join(li, p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n1_region"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .groupBy(F.year(F.col("o_orderdate").cast("date")).alias("o_year"))
+        .agg(
+            (
+                scaled_long_sum(gated, 10000).cast("double")
+                / scaled_long_sum(volume, 10000).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — product-type profit by nation and year (DataFrame API)
+# ---------------------------------------------------------------------------
+# Adaptation: no ps_supplycost; 0.5 * p_retailprice * l_quantity is the cost
+# proxy (2 dp × integer × 0.5 → exact at scale 10000).
+
+_Q9_ORACLE = f"""
+SELECT nation, o_year,
+       {sql_fixed_sum('amount', 10000)} AS sum_profit
+FROM (
+  SELECT n.n_name AS nation, YEAR(CAST(o.o_orderdate AS DATE)) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_product_profit", oracle=_Q9_ORACLE, tags=("join", "flagship"))
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: LIKE-filtered part slice → profit by nation/year.
+
+    The part LIKE filter runs before the join (broadcast the surviving
+    slice); profit is a per-row IEEE-deterministic expression summed via
+    the exact integer path.
+    """
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    amount = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        F.broadcast(p)
+        .join(li, p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            "nation", F.year(F.col("o_orderdate").cast("date")).alias("o_year")
+        )
+        .agg(fixed_sum(amount, 10000).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — returned-items customer ranking (DataFrame API)
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name,
+       {sql_fixed_sum('l.l_extendedprice * (1 - l.l_discount)', 10000)} AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-10-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_ORACLE, tags=("join", "flagship"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: lost-revenue-per-customer top-20 for one quarter.
+
+    Both selective filters (quarter, returnflag) sit on scan columns and
+    push down; the top-20 compiles to TakeOrderedAndProject with the unique
+    custkey tiebreak making the limit deterministic.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(fixed_sum(revenue, 10000).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — important stock (HAVING against a scalar-subquery fraction)
+# ---------------------------------------------------------------------------
+# Adaptation: shipped value from lineitem replaces ps_supplycost*ps_availqty.
+# The per-part value is a pure BIGINT (cents × integer qty), so the HAVING
+# comparison is integer-vs-integer — no float drift possible.
+
+_Q11_ORACLE = """
+SELECT l.l_partkey AS ps_partkey,
+       SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) * CAST(l.l_quantity AS BIGINT)) AS shipped_value_cents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_0','NATION_1','NATION_2')
+GROUP BY l.l_partkey
+HAVING SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) * CAST(l.l_quantity AS BIGINT)) >
+  (SELECT CAST(0.001 * SUM(CAST(ROUND(l2.l_extendedprice * 100, 0) AS BIGINT) * CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+   FROM lineitem l2
+   JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+   JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+   WHERE n2.n_name IN ('NATION_0','NATION_1','NATION_2'))
+ORDER BY shipped_value_cents DESC, ps_partkey
+"""
+
+
+@register("q11_important_stock", oracle=_Q11_ORACLE, tags=("subquery", "flagship"))
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: per-part value above a fraction-of-total threshold.
+
+    DataFrame plan: one grouped integer sum, then a 1-row global total
+    cross-joined in (broadcast of a single row — the only sound use of
+    crossJoin) and an integer comparison. Two aggregations share the same
+    filtered join input; Spark reuses the shuffle via the cached local plan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2")
+    )
+    value = F.round(F.col("l_extendedprice") * 100).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
+    joined = li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey).join(
+        F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")
+    )
+    per_part = joined.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum(value).alias("shipped_value_cents")
+    )
+    total = joined.agg(
+        (F.lit(0.001) * F.sum(value)).cast("long").alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("shipped_value_cents") > F.col("threshold"))
+        .select("ps_partkey", "shipped_value_cents")
+        .orderBy(F.col("shipped_value_cents").desc(), F.col("ps_partkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — shipping-priority lateness split (DataFrame API)
+# ---------------------------------------------------------------------------
+# Adaptation: l_returnflag stands in for the missing l_shipmode; "late" is
+# shipped >30 days after the order date (no commit/receipt dates).
+
+_Q12_ORACLE = """
+SELECT l.l_returnflag,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag IN ('A', 'N')
+  AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 30
+  AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@register("q12_priority_lateness", oracle=_Q12_ORACLE, tags=("agg", "flagship"))
+def q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: CASE-split counts of late lines by category.
+
+    The cross-table lateness predicate (shipdate vs orderdate+30) runs
+    after the orderkey join; everything else pushes to the scans. Counts
+    are integers — trivially hash-stable.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "N")
+        & (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 30)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution (DataFrame API)
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_order_distribution", oracle=_Q13_ORACLE, tags=("join", "flagship"))
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: double aggregation over a filtered outer join.
+
+    The priority filter lives INSIDE the join condition (not a WHERE), so
+    customers whose only orders are urgent still appear with c_count=0 —
+    the semantics a post-join filter would silently break. COUNT(col)
+    counts non-null keys, preserving the outer-join zeros.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier (CTE + scalar MAX equality)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_revenue
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE, tags=("subquery", "flagship"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) whose quarterly revenue equals the MAX.
+
+    The revenue CTE replaces the original's CREATE VIEW; the equality
+    against the scalar MAX is exact because both sides derive from the
+    same order-independent integer sum (one identical double division).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q15_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier variety per part slice (DataFrame API, NOT IN → anti-join)
+# ---------------------------------------------------------------------------
+# Adaptation: lineitem is the part↔supplier relation; "complaint" suppliers
+# (the original's LIKE '%Complaints%') are those with negative balances.
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("q16_supplier_variety", oracle=_Q16_ORACLE, tags=("join", "flagship"))
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: COUNT DISTINCT suppliers with a NOT IN exclusion.
+
+    The NOT IN compiles to a broadcast left-anti join — valid here because
+    s_suppkey is never NULL (NOT IN's three-valued trap doesn't bite; see
+    writers.delete_where for where it would). Part filters broadcast a
+    pre-shrunk dim.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — large-volume customers (IN over a grouped HAVING subquery)
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+       o.o_totalprice, SUM(l.l_quantity) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_volume_orders", oracle=_Q18_ORACLE, tags=("subquery", "flagship"))
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: IN over a grouped-HAVING subquery → semi-join.
+
+    Catalyst turns the IN into a left-semi join against the aggregated
+    orderkey set; quantities are integer-valued doubles, so the HAVING
+    threshold and the output sum are both exact.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q18_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# q20 — potential part promotion (nested IN chain)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+  AND s.s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'hot%')
+      AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 300
+  )
+ORDER BY s.s_name
+"""
+
+
+@register("q20_promotion_suppliers", oracle=_Q20_ORACLE, tags=("subquery", "flagship"))
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: two-level nested IN (suppliers of hot parts above a
+    shipped-quantity threshold). Each IN level decorrelates to a semi-join;
+    the inner part filter broadcasts, so the chain is scan → two semi-joins
+    with no repeated subquery execution.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS pair)
+# ---------------------------------------------------------------------------
+# Adaptation: "late" is shipped >60 days after the order date (no
+# commit/receipt dates in the testdata).
+
+_Q21_ORACLE = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+  AND n.n_name IN ('NATION_7', 'NATION_8')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND CAST(l3.l_shipdate AS DATE) > CAST(o3.o_orderdate AS DATE) + 60)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
+
+@register("q21_waiting_supplier", oracle=_Q21_ORACLE, tags=("subquery", "flagship"))
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: the EXISTS / NOT-EXISTS decorrelation stress test.
+
+    "Sole late supplier of a finished multi-supplier order": the EXISTS
+    becomes a left-semi join, the NOT EXISTS a left-anti join, both on
+    orderkey — three passes over lineitem, zero per-row subquery loops.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# q22 — dormant high-balance customers (scalar AVG + NOT EXISTS)
+# ---------------------------------------------------------------------------
+# Adaptation: the "country code" is the last-2-digit slice of c_name (no
+# c_phone column); "no orders" (always false at 10 orders/customer in this
+# data) becomes "no open urgent order" to keep the anti-join selective.
+
+_Q22_ORACLE = """
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+FROM (
+  SELECT SUBSTRING(c.c_name, LENGTH(c.c_name) - 1, 2) AS cntrycode, c.c_acctbal
+  FROM customer c
+  WHERE SUBSTRING(c.c_name, LENGTH(c.c_name) - 1, 2) IN ('13', '31', '23', '29', '30', '18', '17')
+    AND c.c_acctbal > (SELECT CAST(SUM(CAST(ROUND(c2.c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)
+                       FROM customer c2
+                       WHERE c2.c_acctbal > 0.0
+                         AND SUBSTRING(c2.c_name, LENGTH(c2.c_name) - 1, 2) IN ('13', '31', '23', '29', '30', '18', '17'))
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'O' AND o.o_orderpriority = '1-URGENT')
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@register("q22_dormant_customers", oracle=_Q22_ORACLE, tags=("subquery", "flagship"))
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: uncorrelated scalar AVG threshold + NOT EXISTS.
+
+    The average-balance threshold uses the exact fixed-point path INSIDE
+    the predicate (a float AVG here would make boundary customers flap
+    between engines — the round-4 lesson applied to a WHERE clause). The
+    NOT EXISTS anti-joins against a filtered orders slice.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_ORACLE)

@@ -165,6 +165,67 @@ _FLAGSHIP_CHECKS = {
         ("partial aggregation", "partial_"),
         ("no window pass", "!Window ["),
     ],
+    # round-5 TPC-H completion batch (analytics_tpch.py) plan promises
+    "q2_min_cost_supplier": [
+        # correlated scalar MIN must decorrelate to aggregate+join
+        ("no per-row subquery loop", "!CartesianProduct"),
+        ("dim broadcast", "BroadcastHashJoin"),
+    ],
+    "q7_volume_shipping": [
+        ("nation dims broadcast", "BroadcastHashJoin"),
+        ("partial aggregation", "partial_"),
+    ],
+    "q8_market_share": [
+        ("dims broadcast", "BroadcastHashJoin"),
+        ("partial aggregation", "partial_"),
+    ],
+    "q9_product_profit": [
+        ("part slice broadcast", "BroadcastHashJoin"),
+        ("partial aggregation", "partial_"),
+    ],
+    "q10_returned_items": [
+        ("filter pushdown", "PushedFilters: ["),
+        ("top-20 (no full sort)", "TakeOrderedAndProject"),
+    ],
+    "q11_important_stock": [
+        ("partial aggregation", "partial_"),
+        ("dim broadcast", "BroadcastHashJoin"),
+    ],
+    "q12_priority_lateness": [
+        ("filter pushdown", "PushedFilters: ["),
+        ("partial aggregation", "partial_"),
+    ],
+    "q13_order_distribution": [
+        # the priority predicate must stay inside the outer join (a
+        # post-join filter would drop the zero-order customers)
+        ("outer join preserved", "LeftOuter"),
+        ("partial aggregation", "partial_count"),
+    ],
+    "q15_top_supplier": [
+        ("revenue join broadcast/hash", "BroadcastHashJoin"),
+        ("no per-row subquery loop", "!CartesianProduct"),
+    ],
+    "q16_supplier_variety": [
+        ("NOT IN as anti-join", "LeftAnti"),
+        ("part filters pushed", "PushedFilters: ["),
+    ],
+    "q18_large_volume_orders": [
+        ("IN-subquery as semi-join", "LeftSemi"),
+        ("top-100 (no full sort)", "TakeOrderedAndProject"),
+    ],
+    "q20_promotion_suppliers": [
+        ("nested INs as semi-joins", "LeftSemi"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    "q21_waiting_supplier": [
+        ("EXISTS as semi-join", "LeftSemi"),
+        ("NOT EXISTS as anti-join", "LeftAnti"),
+        ("top-100 (no full sort)", "TakeOrderedAndProject"),
+    ],
+    "q22_dormant_customers": [
+        ("NOT EXISTS as anti-join", "LeftAnti"),
+        ("no per-row subquery loop", "!CartesianProduct"),
+    ],
     "scale_interval_bucket_join": [
         # the overlap theta-predicate must ride an equi-join on the bucket
         # id, not a quadratic join (the sole BroadcastNestedLoopJoin in

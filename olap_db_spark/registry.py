@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "olap_db_spark.operators.arg_aggregates",
     "olap_db_spark.operators.relevance",
     "olap_db_spark.operators.sketches",
+    "olap_db_spark.operators.analytics_tpch",
 )
 
 
@@ -114,9 +115,27 @@ _PRIORITY: tuple[str, ...] = (
     "text_ngram_topk",
     "text_domain_mixture",
     "ts_user_lifetime",
-    # round-3-checked queries in modules round 4 touched (16 of 22; dropped
-    # agg_collect_set, agg_count_distinct, func_array_ops, func_conditional,
-    # meta_show_create_table, meta_show_databases to fit the 50-slot window)
+    # NEW in round 5, second batch — the TPC-H completion queries
+    # (analytics_tpch.py). Never driver-checked, so they outrank the
+    # stale-but-green rotation block below.
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_lateness",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q18_large_volume_orders",
+    "q20_promotion_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    # round-3-checked queries in modules round 4 touched. With the 14
+    # TPC-H additions above, the 50-slot window now cuts off after
+    # agg_basic_stats/agg_cube; the rest keep their relative order for
+    # the round-6 rotation (local parity still covers them every run).
     "agg_basic_stats",
     "agg_cube",
     "agg_grouping_id",
