@@ -697,11 +697,22 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("n_adj_dup"),
     )
-    top_n = F.coalesce(
-        F.array_max(
-            F.expr("transform(array_distinct(bi), g -> size(filter(bi, x -> x = g)))")
-        ),
-        F.lit(0),
+    # Dominant-bigram count = longest run of equal adjacent elements in the
+    # SORTED bigram array — O(n log n) per doc vs the O(n·distinct) scan of
+    # counting each distinct bigram separately. The sorted array lives in
+    # its own column (not the fold accumulator) so the fold state stays two
+    # ints — no per-step array copy.
+    b = b.withColumn("sb", F.array_sort("bi"))
+    top_n = F.when(F.size("sb") == 0, F.lit(0)).otherwise(
+        F.expr(
+            "aggregate(sequence(2, size(sb)),"
+            " named_struct('run', CAST(1 AS INT), 'best', CAST(1 AS INT)),"
+            " (acc, i) -> IF(element_at(sb, i) = element_at(sb, i - 1),"
+            "   named_struct('run', acc.run + 1,"
+            "                'best', greatest(acc.best, acc.run + 1)),"
+            "   named_struct('run', CAST(1 AS INT), 'best', acc.best)),"
+            " acc -> acc.best)"
+        )
     )
     return b.select(
         "doc_id",
