@@ -35,7 +35,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
-from ._vector import sql_cosine, sql_dot, sql_quantize
+from ._vector import quantize, sql_cosine, sql_dot, sql_quantize
+from .kmeans import _DIM as _EMB_DIM
+from .kmeans import _ITERS as _KM_ITERS
+from .kmeans import kmeans_fit_assign, sql_kmeans_assign
 
 _DUP_OFFSET = 1_000_000
 
@@ -769,4 +772,107 @@ def fuzzy_levenshtein_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
         )
         .orderBy("typo", "matched")
+    )
+
+
+# --- SemDeDup: k-means-cluster-blocked embedding dedup ---------------------------
+
+# Fixed-point perturbation on dimension 0 (+0.01 at the 1e6 quantization
+# scale): every 10th duplicated vector becomes a NEAR-dup instead of an
+# exact copy, so the verify threshold is exercised from both sides.
+_SEM_PERTURB = 10_000
+
+_SEM_CORPUS_SQL = f"""
+  SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_DUP_OFFSET} AS vec_id,
+         CASE WHEN vec_id % 10 = 0
+              THEN [qv[1] + {_SEM_PERTURB}] || qv[2:]
+              ELSE qv END AS qv
+  FROM (SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings) b
+"""
+
+_SEM_COS = sql_cosine(sql_dot("a.qv", "b.qv"), "a.n2", "b.n2")
+
+_SEMANTIC_ORACLE = f"""
+WITH {sql_kmeans_assign(vecs_sql=_SEM_CORPUS_SQL)},
+n AS (
+  SELECT vec_id, cluster, qv, {sql_dot('qv', 'qv')} AS n2
+  FROM assign{_KM_ITERS}
+)
+SELECT a.cluster AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_SEM_COS} AS cos_sim
+FROM n a JOIN n b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+WHERE a.n2 > 0 AND b.n2 > 0 AND {_SEM_COS} >= 0.95
+"""
+
+
+@register("dedup_semantic", oracle=_SEMANTIC_ORACLE, tags=("dedup", "northstar"))
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic duplicates
+    are searched only WITHIN k-means clusters of the embedding space —
+    the cluster is the blocking key, pruning the pair space from O(N²)
+    to O(N²/k) with k growing alongside the corpus.
+
+    Fully oracle-checked end to end: the deterministic integer Lloyd loop
+    unrolls into SQL (``sql_kmeans_assign`` over the duplicated corpus),
+    and the within-cluster cosine is the proven fixed-point formula from
+    ``dedup_embedding_cosine`` (exact int64 dot/norms; one IEEE
+    sqrt·sqrt·divide in the oracle's operation order).
+
+    Scale shape: assignment is a map-only Arrow pass against broadcast
+    centroids; the pairwise stage is one integer matmul per cluster via
+    applyInPandas, bounded by cluster size — the same bucket-bounded
+    O(block²) contract as the LSH/label-blocked dedups. No cross join,
+    no driver loop beyond k×dim centroid state."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    perturbed = F.concat(
+        F.array(F.element_at("qv", 1) + F.lit(_SEM_PERTURB)),
+        F.slice("qv", 2, _EMB_DIM - 1),
+    )
+    dup = base.select(
+        (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"),
+        F.when(F.col("vec_id") % 10 == 0, perturbed)
+        .otherwise(F.col("qv"))
+        .alias("qv"),
+    )
+    vecs = base.unionAll(dup)
+    assigned = kmeans_fit_assign(spark, sf_dir, vecs=vecs)  # (vec_id, cluster)
+    clustered = vecs.join(assigned, "vec_id")
+
+    # One exact-int64 matmul per cluster block (applyInPandas delivers the
+    # whole group) — same scorer shape as dedup_embedding_cosine, minus
+    # the quantization step (qv is already fixed-point).
+    def _make_cluster_scorer():
+        def pairs(pdf):
+            import numpy as _np
+            import pandas as _pd
+
+            ids = pdf["vec_id"].to_numpy()
+            q = _np.stack(pdf["qv"].map(_np.asarray).values).astype(_np.int64)
+            dots = q @ q.T  # exact int64
+            n2 = _np.diag(dots).astype(_np.float64)
+            nz = n2 > 0
+            ids, dots, n2 = ids[nz], dots[_np.ix_(nz, nz)], n2[nz]
+            cos = dots / (_np.sqrt(n2)[:, None] * _np.sqrt(n2)[None, :])
+            iu = _np.triu_indices(len(ids), k=1)
+            a, b, c = ids[iu[0]], ids[iu[1]], cos[iu]
+            lo, hi = _np.minimum(a, b), _np.maximum(a, b)
+            keep = c >= 0.95
+            cl = int(pdf["cluster"].iloc[0]) if len(pdf) else 0
+            return _pd.DataFrame(
+                {
+                    "cluster": _np.full(int(keep.sum()), cl, dtype=_np.int64),
+                    "vec_a": lo[keep],
+                    "vec_b": hi[keep],
+                    "cos_sim": c[keep],
+                }
+            )
+
+        return pairs
+
+    return clustered.groupBy("cluster").applyInPandas(
+        _make_cluster_scorer(),
+        "cluster LONG, vec_a LONG, vec_b LONG, cos_sim DOUBLE",
     )

@@ -32,7 +32,12 @@ _ITERS = 4
 _DIM = 64
 
 
-def sql_kmeans_assign(k: int = _K, iters: int = _ITERS, dim: int = _DIM) -> str:
+def sql_kmeans_assign(
+    k: int = _K,
+    iters: int = _ITERS,
+    dim: int = _DIM,
+    vecs_sql: str | None = None,
+) -> str:
     """DuckDB CTE chain computing EXACTLY ``kmeans_fit_assign``'s output.
 
     Because every Lloyd step here is deterministic exact-integer math
@@ -47,8 +52,10 @@ def sql_kmeans_assign(k: int = _K, iters: int = _ITERS, dim: int = _DIM) -> str:
     the last update is discarded (the returned assignment is made with
     cent{iters-1}).
     """
+    if vecs_sql is None:
+        vecs_sql = f"SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings"
     parts = [
-        f"vecs AS (SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings)",
+        f"vecs AS ({vecs_sql})",
         "seed_ids AS (SELECT vec_id FROM vecs "
         f"ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})",
         "cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, "
@@ -114,16 +121,25 @@ def _assign_udf(centroids: list[list[int]]):
 
 
 def kmeans_fit_assign(
-    spark: SparkSession, sf_dir: str, k: int = _K, iters: int = _ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _K,
+    iters: int = _ITERS,
+    vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over quantized embeddings → (vec_id, cluster).
 
     Init: the k vectors with the smallest md5(vec_id) (deterministic,
     scattered). Update: integer mean (sum DIV count) keeps centroids in
-    exact int64 space so every iteration is reproducible bit-for-bit."""
-    vecs = load(spark, sf_dir, "embeddings").select(
-        "vec_id", quantize(F.col("embedding")).alias("qv")
-    )
+    exact int64 space so every iteration is reproducible bit-for-bit.
+
+    ``vecs`` overrides the corpus: any (vec_id, qv: array<bigint>) frame —
+    mirror its SQL via ``sql_kmeans_assign(vecs_sql=...)`` to keep the
+    oracle exact (used by fuzzy_dedup.dedup_semantic)."""
+    if vecs is None:
+        vecs = load(spark, sf_dir, "embeddings").select(
+            "vec_id", quantize(F.col("embedding")).alias("qv")
+        )
     seed_ids = vecs.select(
         "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
     )

@@ -549,17 +549,19 @@ def mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary column would hold object-store pointers instead of inline
     payloads."""
     # repartition by doc_id BEFORE the Python stages: the testdata is one
-    # parquet file (one partition), and the global orderBy's range-sampling
-    # pass re-executes the synth+decode chain — hash-spreading the docs
-    # parallelizes both executions across cores (2.3× at sf0.1). At 100 TB
-    # this is the standard "spread the expensive decode" repartition.
+    # parquet file (one partition), so without the spread the whole
+    # synth+decode chain would run on a single core. At 100 TB this is the
+    # standard "spread the expensive decode" repartition.
     docs = load(spark, sf_dir, "documents").repartition(F.col("doc_id"))
     payloads = docs.select(
         "doc_id", _make_pcm_synth()(F.col("doc_id")).alias("payload")
     )
-    return payloads.mapInPandas(
-        _make_pcm_decoder(), schema=_AUDIO_SCHEMA
-    ).orderBy("doc_id", "window_idx")
+    # NO global sort on purpose: orderBy's range-sampling pass executes its
+    # child once just to pick partition bounds, and with no shuffle between
+    # decode and sort that ran synth+decode TWICE (measured 1.6× at sf0.1).
+    # The output is a feature table — consumers sort if they need order,
+    # and the driver's hash compare is order-insensitive.
+    return payloads.mapInPandas(_make_pcm_decoder(), schema=_AUDIO_SCHEMA)
 
 
 # --- REAL video path: container synth → frame-sample → decode ----------------
@@ -677,6 +679,6 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.select(
         "doc_id", _make_video_synth()(F.col("doc_id")).alias("payload")
     )
-    return payloads.mapInPandas(
-        _make_video_decoder(), schema=_VID_SCHEMA
-    ).orderBy("doc_id", "frame_idx")
+    # same no-global-sort rationale as mm_audio_rms_windows: orderBy's
+    # range sampling would re-run the synth+decode chain for nothing
+    return payloads.mapInPandas(_make_video_decoder(), schema=_VID_SCHEMA)

@@ -97,6 +97,13 @@ _FLAGSHIP_CHECKS = {
         # column pruning: the scan reads (event_id, props) only
         ("pruned scan", "ReadSchema: struct<event_id:bigint,props:string>"),
     ],
+    # round-5: SemDeDup — cluster-blocked, never pairwise-global
+    "dedup_semantic": [
+        ("Arrow-batched centroid assignment", "ArrowEvalPython"),
+        ("one matmul per cluster block", "FlatMapGroupsInPandas"),
+        ("assignment joined by broadcast", "BroadcastHashJoin"),
+        ("no cartesian pair join", "!CartesianProduct"),
+    ],
     "mm_audio_rms_windows": [
         ("Arrow-batched synth", "ArrowEvalPython"),
         ("Arrow-batched decode", "MapInPandas"),

@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_ngram_topk",
     "text_domain_mixture",
     "ts_user_lifetime",
+    "dedup_semantic",
     # NEW in round 5, second batch — the TPC-H completion queries
     # (analytics_tpch.py). Never driver-checked, so they outrank the
     # stale-but-green rotation block below.
@@ -133,9 +134,9 @@ _PRIORITY: tuple[str, ...] = (
     "q21_waiting_supplier",
     "q22_dormant_customers",
     # round-3-checked queries in modules round 4 touched. With the 14
-    # TPC-H additions above, the 50-slot window now cuts off after
-    # agg_basic_stats/agg_cube; the rest keep their relative order for
-    # the round-6 rotation (local parity still covers them every run).
+    # TPC-H additions and dedup_semantic above, the 50-slot window now
+    # cuts off after agg_basic_stats; the rest keep their relative order
+    # for the round-6 rotation (local parity still covers them every run).
     "agg_basic_stats",
     "agg_cube",
     "agg_grouping_id",
