@@ -230,3 +230,64 @@ def test_components_cluster_dup_pairs(spark):
     assert not bad, f"pairs split across components: {bad[:5]}"
     keepers = {c for c in comp.values()}
     assert all(comp[k] == k for k in keepers), "component rep not its own label"
+
+
+def test_semantic_dedup_finds_dup_pairs(spark):
+    """SemDeDup contract: every duplicated embedding pair (id, id+offset)
+    whose two halves land in the SAME k-means cluster must surface —
+    exact copies at cos ≈ 1, perturbed copies (vec_id % 10 == 0) still
+    above the 0.95 threshold but strictly below their exact twin's score.
+    Cluster-blocking means cross-cluster dup pairs are legitimately
+    missed; SemDeDup's guarantee is within-cluster, so the assertion
+    conditions on co-clustering (and sanity-checks that blocking misses
+    only a minority)."""
+    from pyspark.sql import functions as F
+
+    from olap_db_spark.operators._vector import quantize
+    from olap_db_spark.operators.fuzzy_dedup import (
+        _EMB_DIM,
+        _SEM_PERTURB,
+        dedup_semantic,
+    )
+    from olap_db_spark.operators.kmeans import kmeans_fit_assign
+    from olap_db_spark.catalog import load
+
+    sf = SF
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in dedup_semantic(spark, sf).collect()
+    }
+    # rebuild the corpus + assignment exactly as the operator does
+    e = load(spark, sf, "embeddings")
+    base = e.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    perturbed = F.concat(
+        F.array(F.element_at("qv", 1) + F.lit(_SEM_PERTURB)),
+        F.slice("qv", 2, _EMB_DIM - 1),
+    )
+    dup = base.select(
+        (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"),
+        F.when(F.col("vec_id") % 10 == 0, perturbed)
+        .otherwise(F.col("qv"))
+        .alias("qv"),
+    )
+    vecs = base.unionAll(dup)
+    cluster_of = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_fit_assign(spark, sf, vecs=vecs).collect()
+    }
+    n_vecs = len(cluster_of) // 2
+    co, missed = [], 0
+    for i in range(n_vecs):
+        if cluster_of[i] == cluster_of[i + _DUP_OFFSET]:
+            co.append(i)
+        else:
+            missed += 1
+    # identical vectors assign identically, so only perturbed copies can
+    # split clusters — co-clustered dups must dominate
+    assert missed <= n_vecs // 10, f"too many split dup pairs: {missed}"
+    for i in co:
+        key = (i, i + _DUP_OFFSET)
+        assert key in pairs, f"co-clustered dup pair missed: {key}"
+        assert pairs[key] >= 0.95
+        if i % 10 == 0:  # perturbed: near-dup, not exact
+            assert pairs[key] < 1.0000001
