@@ -670,7 +670,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
             )
-            .distinct()
+            # no distinct here: duplicate (u,v) rows cannot change the
+            # small-star min(small) below, and new_edges dedupes at the
+            # end of the round — dropping it saves one exchange per round
         )
         # Small-star: each node points its SMALLER neighbors (and itself)
         # at their minimum — flattens shallow trees into stars.
