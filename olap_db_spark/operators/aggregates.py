@@ -330,11 +330,14 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- grouped-agg pandas UDF ---------------------------------------------------
 
+# FLOOR(l_quantity) on both sides: DuckDB CAST(DOUBLE AS BIGINT) rounds
+# to nearest while numpy astype truncates — identical only while
+# quantities are integral (the driver regenerates data every round).
 _WAVG_ORACLE = """
 SELECT o_orderpriority,
        (CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
-                 * CAST(l.l_quantity AS BIGINT)) AS DOUBLE)
-        / SUM(CAST(l.l_quantity AS BIGINT))) / 100.0 AS wavg_price
+                 * CAST(FLOOR(l.l_quantity) AS BIGINT)) AS DOUBLE)
+        / SUM(CAST(FLOOR(l.l_quantity) AS BIGINT))) / 100.0 AS wavg_price
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o_orderpriority
@@ -357,7 +360,9 @@ def _make_wavg_udf():
 
         p = price.to_numpy() * 100.0
         cents = (_np.floor(_np.abs(p) + 0.5) * _np.sign(p)).astype(_np.int64)
-        q = qty.to_numpy().astype(_np.int64)
+        # floor, not astype-truncate: mirrors the oracle's FLOOR exactly
+        # even if the regenerated data ever carries fractional quantities
+        q = _np.floor(qty.to_numpy()).astype(_np.int64)
         # chunked exact accumulation: per-chunk int64 dots stay far from
         # overflow (|row product| < 2^40, chunk 1e6 rows < 2^60), chunk
         # sums accumulate as Python ints — exact at any group size

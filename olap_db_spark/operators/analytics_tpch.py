@@ -340,21 +340,33 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Adaptation: shipped value from lineitem replaces ps_supplycost*ps_availqty.
 # The per-part value is a pure BIGINT (cents × integer qty), so the HAVING
 # comparison is integer-vs-integer — no float drift possible.
+#
+# Round-6 repairs (driver hash-red r5):
+#  * DuckDB SUM(BIGINT) returns HUGEINT, which the driver's fetch path
+#    coerces lossily (int128 → float64) — every r4/r5 hash-red oracle had
+#    an uncast integer SUM and no green one did. CAST every SUM to BIGINT
+#    (gated repo-wide by tests/test_oracle_types.py).
+#  * The 0.001·total threshold: DuckDB CAST(DECIMAL→BIGINT) rounds while
+#    Spark's double→long cast truncates — compare 1000·value > total in
+#    pure integers instead (values ~1e13, ×1000 stays in BIGINT).
+#  * l_quantity: DuckDB CAST(DOUBLE AS BIGINT) rounds-to-nearest, Spark
+#    truncates — identical only while quantities are integral. FLOOR on
+#    both sides is exact regardless of regenerated data.
 
 _Q11_ORACLE = """
-SELECT l.l_partkey AS ps_partkey,
-       SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) * CAST(l.l_quantity AS BIGINT)) AS shipped_value_cents
-FROM lineitem l
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
-JOIN nation n ON n.n_nationkey = s.s_nationkey
-WHERE n.n_name IN ('NATION_0','NATION_1','NATION_2')
-GROUP BY l.l_partkey
-HAVING SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) * CAST(l.l_quantity AS BIGINT)) >
-  (SELECT CAST(0.001 * SUM(CAST(ROUND(l2.l_extendedprice * 100, 0) AS BIGINT) * CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
-   FROM lineitem l2
-   JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
-   JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
-   WHERE n2.n_name IN ('NATION_0','NATION_1','NATION_2'))
+WITH pv AS (
+  SELECT l.l_partkey AS ps_partkey,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) * CAST(FLOOR(l.l_quantity) AS BIGINT)) AS BIGINT) AS shipped_value_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name IN ('NATION_0','NATION_1','NATION_2')
+  GROUP BY l.l_partkey
+),
+tot AS (SELECT CAST(SUM(shipped_value_cents) AS BIGINT) AS total FROM pv)
+SELECT ps_partkey, shipped_value_cents
+FROM pv CROSS JOIN tot
+WHERE shipped_value_cents * 1000 > total
 ORDER BY shipped_value_cents DESC, ps_partkey
 """
 
@@ -373,8 +385,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2")
     )
-    value = F.round(F.col("l_extendedprice") * 100).cast("long") * F.col(
-        "l_quantity"
+    value = F.round(F.col("l_extendedprice") * 100).cast("long") * F.floor(
+        F.col("l_quantity")
     ).cast("long")
     joined = li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey).join(
         F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")
@@ -382,12 +394,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = joined.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
         F.sum(value).alias("shipped_value_cents")
     )
-    total = joined.agg(
-        (F.lit(0.001) * F.sum(value)).cast("long").alias("threshold")
-    )
+    total = per_part.agg(F.sum("shipped_value_cents").alias("total"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("shipped_value_cents") > F.col("threshold"))
+        # pure-integer fraction-of-total test: 1000·value > total — no
+        # double→long cast whose truncate/round semantics differ by engine
+        .filter(F.col("shipped_value_cents") * 1000 > F.col("total"))
         .select("ps_partkey", "shipped_value_cents")
         .orderBy(F.col("shipped_value_cents").desc(), F.col("ps_partkey"))
     )
@@ -399,10 +411,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Adaptation: l_returnflag stands in for the missing l_shipmode; "late" is
 # shipped >30 days after the order date (no commit/receipt dates).
 
+# CAST(SUM(..) AS BIGINT): DuckDB SUM(INTEGER) yields HUGEINT, which the
+# driver's fetch path coerces lossily — the round-5 hash-red cause.
 _Q12_ORACLE = """
 SELECT l.l_returnflag,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_returnflag IN ('A', 'N')

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
@@ -796,15 +797,30 @@ _SEM_CORPUS_SQL = f"""
 
 _SEM_COS = sql_cosine(sql_dot("a.qv", "b.qv"), "a.n2", "b.n2")
 
+# Hard per-task memory guard: a cluster larger than this is re-split into
+# equal sub-blocks (deterministic: ROW_NUMBER over md5(vec_id) — HASH
+# order, not id order, so correlated id ranges [e.g. original vs +offset
+# duplicate ids] are not systematically separated), so one applyInPandas
+# group never materializes more than _SEM_MAX_BLOCK vectors no matter how
+# skewed the clustering gets. Pairs across sub-blocks of one oversized
+# cluster are skipped — the same bounded-approximation contract SemDeDup
+# already makes for pairs across clusters. With auto-k keeping
+# E[cluster size] ≈ 512, splitting only fires on pathological skew.
+_SEM_MAX_BLOCK = 4096
+
 _SEMANTIC_ORACLE = f"""
-WITH {sql_kmeans_assign(vecs_sql=_SEM_CORPUS_SQL)},
+WITH {sql_kmeans_assign(vecs_sql=_SEM_CORPUS_SQL, auto_k=True)},
 n AS (
-  SELECT vec_id, cluster, qv, {sql_dot('qv', 'qv')} AS n2
+  SELECT vec_id, cluster, qv, {sql_dot('qv', 'qv')} AS n2,
+         (ROW_NUMBER() OVER (PARTITION BY cluster
+                             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1)
+           // {_SEM_MAX_BLOCK} AS sub
   FROM assign{_KM_ITERS}
 )
 SELECT a.cluster AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_SEM_COS} AS cos_sim
-FROM n a JOIN n b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+FROM n a JOIN n b ON b.cluster = a.cluster AND b.sub = a.sub
+                 AND a.vec_id < b.vec_id
 WHERE a.n2 > 0 AND b.n2 > 0 AND {_SEM_COS} >= 0.95
 """
 
@@ -814,19 +830,27 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic duplicates
     are searched only WITHIN k-means clusters of the embedding space —
     the cluster is the blocking key, pruning the pair space from O(N²)
-    to O(N²/k) with k growing alongside the corpus.
+    to O(N·B) with k = max(16, ceil(N/512)) growing linearly with the
+    corpus (``kmeans_fit_assign(k="auto")``), so E[cluster size] stays
+    ~512 at any N.
 
     Fully oracle-checked end to end: the deterministic integer Lloyd loop
-    unrolls into SQL (``sql_kmeans_assign`` over the duplicated corpus),
-    and the within-cluster cosine is the proven fixed-point formula from
-    ``dedup_embedding_cosine`` (exact int64 dot/norms; one IEEE
-    sqrt·sqrt·divide in the oracle's operation order).
+    unrolls into SQL (``sql_kmeans_assign(auto_k=True)`` over the
+    duplicated corpus — k is computed IN SQL from COUNT(*), tracking the
+    Spark side at any scale), and the within-cluster cosine is the proven
+    fixed-point formula from ``dedup_embedding_cosine`` (exact int64
+    dot/norms; one IEEE sqrt·sqrt·divide in the oracle's operation order).
 
     Scale shape: assignment is a map-only Arrow pass against broadcast
-    centroids; the pairwise stage is one integer matmul per cluster via
-    applyInPandas, bounded by cluster size — the same bucket-bounded
-    O(block²) contract as the LSH/label-blocked dedups. No cross join,
-    no driver loop beyond k×dim centroid state."""
+    centroids; the pairwise stage is one integer matmul per
+    (cluster, sub-block) via applyInPandas, HARD-bounded at
+    ``_SEM_MAX_BLOCK`` vectors per task by deterministic rank re-splitting
+    of skew-oversized clusters — the same bucket-bounded O(block²)
+    contract as the LSH/label-blocked dedups, now enforced rather than
+    assumed. No cross join; driver state is the k×dim centroid matrix
+    (beyond ~1e8 vectors a production run would shard that into a
+    two-level coarse quantizer — the per-task and per-pair bounds here
+    are unchanged by that swap)."""
     e = load(spark, sf_dir, "embeddings")
     base = e.select("vec_id", quantize(F.col("embedding")).alias("qv"))
     perturbed = F.concat(
@@ -840,8 +864,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qv"),
     )
     vecs = base.unionAll(dup)
-    assigned = kmeans_fit_assign(spark, sf_dir, vecs=vecs)  # (vec_id, cluster)
+    assigned = kmeans_fit_assign(spark, sf_dir, k="auto", vecs=vecs)
     clustered = vecs.join(assigned, "vec_id")
+    # deterministic re-split of skew-oversized clusters into sub-blocks
+    # of ≤ _SEM_MAX_BLOCK vectors; ranked in md5(vec_id) HASH order so
+    # correlated id ranges don't land in systematically different blocks
+    sub_w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    clustered = clustered.withColumn(
+        "sub",
+        F.floor((F.row_number().over(sub_w) - 1) / _SEM_MAX_BLOCK),
+    )
 
     # One exact-int64 matmul per cluster block (applyInPandas delivers the
     # whole group) — same scorer shape as dedup_embedding_cosine, minus
@@ -874,7 +908,113 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return pairs
 
-    return clustered.groupBy("cluster").applyInPandas(
+    return clustered.groupBy("cluster", "sub").applyInPandas(
         _make_cluster_scorer(),
         "cluster LONG, vec_a LONG, vec_b LONG, cos_sim DOUBLE",
+    )
+
+
+# --- span-level exact dedup: duplicated token windows across documents ------
+
+# Substring-level duplication (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better", arXiv:2107.06499): whole-document dedup
+# misses boilerplate PARAGRAPHS repeated across otherwise-distinct pages.
+# The suffix-array approach there is replaced by the Spark-shaped
+# equivalent: fingerprint every _SPAN_LEN-token window at _SPAN_STRIDE
+# offsets (md5 of the joined tokens — portable across engines), then one
+# hash aggregate finds fingerprints spanning ≥2 distinct documents.
+# Stride = len/2 guarantees any duplicated run of ≥ 1.5·_SPAN_LEN tokens
+# contains an aligned shared window in both copies.
+_SPAN_LEN = 32
+_SPAN_STRIDE = 16
+_SPAN_TOPK = 100
+
+_SPAN_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws,
+         len(string_split(trim(text), ' ')) AS n
+  FROM corpus
+),
+spans AS (
+  SELECT doc_id,
+         md5(array_to_string(ws[p + 1 : p + {_SPAN_LEN}], ' ')) AS fp
+  FROM (
+    SELECT doc_id, ws,
+           unnest(range(0, n - {_SPAN_LEN} + 1, {_SPAN_STRIDE})) AS p
+    FROM t WHERE n >= {_SPAN_LEN}
+  )
+),
+dup AS (
+  SELECT fp,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occurrences,
+         MIN(doc_id) AS first_doc,
+         MAX(doc_id) AS last_doc
+  FROM spans
+  GROUP BY fp
+  HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT fp, n_docs, n_occurrences, first_doc, last_doc
+FROM dup
+ORDER BY n_docs DESC, n_occurrences DESC, fp
+LIMIT {_SPAN_TOPK}
+"""
+
+
+@register("dedup_span_exact", oracle=_SPAN_ORACLE, tags=("dedup", "llm"))
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup: 32-token windows (stride 16) repeated
+    across ≥2 distinct documents — the boilerplate/paragraph duplication
+    whole-document dedup cannot see (Lee et al. 2022's suffix-array
+    substring dedup, re-expressed as window fingerprinting).
+
+    Scale shape: the window explode is map-only with fan-out bounded at
+    n/stride rows per doc (≈ 2 fingerprint rows per 32 tokens — strictly
+    linear in corpus tokens, unlike a suffix array's global sort); one
+    hash aggregate on the 16-byte fingerprint (map-side combine) finds
+    cross-document spans; the top-k is TakeOrderedAndProject over the
+    already-aggregated duplicate set only. No joins, no windows over raw
+    data, nothing global but the final k rows.
+
+    Corpus: the family's standard in-query dup corpus (full copies +
+    10% tail-perturbed) — copies share every aligned window, perturbed
+    copies share all but the last, so span-level hits exist by
+    construction and hash-compare exactly."""
+    d = _dup_corpus(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), " ").alias("ws"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n"),
+    ).filter(F.col("n") >= _SPAN_LEN)
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, n - {_SPAN_LEN}, {_SPAN_STRIDE})")
+        ).alias("p"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.expr(f"slice(ws, p + 1, {_SPAN_LEN})"), " ")
+        ).alias("fp"),
+    )
+    dup = (
+        spans.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        dup.orderBy(
+            F.col("n_docs").desc(),
+            F.col("n_occurrences").desc(),
+            F.col("fp").asc(),
+        )
+        .limit(_SPAN_TOPK)
+        .select("fp", "n_docs", "n_occurrences", "first_doc", "last_doc")
     )

@@ -31,12 +31,18 @@ _K = 16
 _ITERS = 4
 _DIM = 64
 
+# auto-k: clusters sized so the within-cluster pair stage stays O(N·B).
+# k = max(_K, ceil(N / _TARGET_BLOCK)) — k grows linearly with the corpus,
+# holding E[cluster size] ≈ _TARGET_BLOCK constant at any scale.
+_TARGET_BLOCK = 512
+
 
 def sql_kmeans_assign(
     k: int = _K,
     iters: int = _ITERS,
     dim: int = _DIM,
     vecs_sql: str | None = None,
+    auto_k: bool = False,
 ) -> str:
     """DuckDB CTE chain computing EXACTLY ``kmeans_fit_assign``'s output.
 
@@ -54,13 +60,28 @@ def sql_kmeans_assign(
     """
     if vecs_sql is None:
         vecs_sql = f"SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings"
-    parts = [
-        f"vecs AS ({vecs_sql})",
-        "seed_ids AS (SELECT vec_id FROM vecs "
-        f"ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})",
-        "cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, "
-        "qv AS cv FROM vecs WHERE vec_id IN (SELECT vec_id FROM seed_ids))",
-    ]
+    if auto_k:
+        # data-dependent k = max(k, ceil(N / target)) computed IN SQL, so
+        # the static oracle string tracks the Spark side at any corpus
+        # size (SemDeDup's "k grows alongside the corpus" contract).
+        parts = [
+            f"vecs AS ({vecs_sql})",
+            "kparam AS (SELECT GREATEST("
+            f"{k}, CAST(CEIL(COUNT(*) / {_TARGET_BLOCK}.0) AS BIGINT)"
+            ") AS kk FROM vecs)",
+            "seed_rank AS (SELECT vec_id, qv, ROW_NUMBER() OVER "
+            "(ORDER BY md5(CAST(vec_id AS VARCHAR))) AS hr FROM vecs)",
+            "cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, "
+            "qv AS cv FROM seed_rank WHERE hr <= (SELECT kk FROM kparam))",
+        ]
+    else:
+        parts = [
+            f"vecs AS ({vecs_sql})",
+            "seed_ids AS (SELECT vec_id FROM vecs "
+            f"ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})",
+            "cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, "
+            "qv AS cv FROM vecs WHERE vec_id IN (SELECT vec_id FROM seed_ids))",
+        ]
     for i in range(1, iters + 1):
         # assignment: argmin of |c|^2 - 2 v.c (|v|^2 constant per row);
         # exact int64, ties -> lowest cluster id (matches np.argmin).
@@ -123,7 +144,7 @@ def _assign_udf(centroids: list[list[int]]):
 def kmeans_fit_assign(
     spark: SparkSession,
     sf_dir: str,
-    k: int = _K,
+    k: int | str = _K,
     iters: int = _ITERS,
     vecs: DataFrame | None = None,
 ) -> DataFrame:
@@ -133,6 +154,12 @@ def kmeans_fit_assign(
     scattered). Update: integer mean (sum DIV count) keeps centroids in
     exact int64 space so every iteration is reproducible bit-for-bit.
 
+    ``k="auto"`` scales the cluster count with the corpus —
+    max(_K, ceil(N / _TARGET_BLOCK)) — so E[cluster size] stays constant
+    at any N (the SemDeDup contract; mirror with
+    ``sql_kmeans_assign(auto_k=True)``). The count() it costs is one
+    column-pruned parquet scan.
+
     ``vecs`` overrides the corpus: any (vec_id, qv: array<bigint>) frame —
     mirror its SQL via ``sql_kmeans_assign(vecs_sql=...)`` to keep the
     oracle exact (used by fuzzy_dedup.dedup_semantic)."""
@@ -140,6 +167,9 @@ def kmeans_fit_assign(
         vecs = load(spark, sf_dir, "embeddings").select(
             "vec_id", quantize(F.col("embedding")).alias("qv")
         )
+    if k == "auto":
+        n_vecs = vecs.count()
+        k = max(_K, -(-n_vecs // _TARGET_BLOCK))  # ceil division
     seed_ids = vecs.select(
         "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
     )

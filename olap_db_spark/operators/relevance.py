@@ -10,18 +10,17 @@ onto the per-doc rows. At 100 TB the document table shards freely; the only
 global state is the document count and the query-term document frequencies —
 a handful of scalars.
 
-Determinism (round-5 contract): the driver-hashed surface of every oracle
-query here is INTEGER-ONLY — the exact counts (tf, df, dl, N, Σdl, c1, c2,
-v) that the scores are pure functions of. Round 4 proved that quantized
-transcendentals are not hash-portable: ``ln``/division chains differ by
-multiple ulps across engine builds, and a 1e-6-scaled round() flips at .5
-midpoints (3 of 5 such queries went red on the driver while passing
-bit-for-bit locally). Float evaluation now lives in rows-only companion
-queries (``text_bm25_topk``, ``text_bigram_nll_topk``) plus a pytest
-bounded-error contract (tests/test_exact_moments.py). The only float the
-hashed queries still depend on is the tf/df ranking division — a single
-IEEE-754 division of exact integers is correctly rounded, hence
-bit-identical everywhere.
+Determinism (round-6 contract): the driver-hashed surface of every query
+here is INTEGER-ONLY — either the exact counts (tf, df, dl, N, Σdl, c1,
+c2, v) the scores are pure functions of, or floor-quantized transcendental
+terms (floor(scale·ln-chain): cross-engine ln drift is ~1 ulp, so the
+floor flips only within ~1e-9 of an integer boundary — no .5 midpoint
+semantics to diverge, unlike round()). The r4/r5 driver reds on this
+module turned out to be DuckDB HUGEINT coercion (uncast integer SUMs), not
+ln-portability — see tests/test_oracle_types.py. Rankings order on exact
+integers or on single correctly-rounded divisions of exact integers
+(bit-identical everywhere); ``oracle=None`` registrations are outlawed
+(the driver records err: no_oracle).
 """
 
 from __future__ import annotations
@@ -32,6 +31,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
+from ._vector import sql_cosine, sql_dot, sql_quantize
 
 # Tokens: lowercase, split on whitespace runs, drop empties — identical in
 # both dialects.
@@ -190,30 +190,75 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_postings(spark, sf_dir).orderBy("doc_id", "term")
 
 
-@register("text_bm25_topk", oracle=None, tags=("text", "llm"))
+# Milli-quantized per-term BM25 contribution, identically structured in
+# both dialects: ln/div/mul chains agree to ~1 ulp across engine builds, so
+# FLOOR(1000·contrib) flips only if the true value sits within ~1e-11 of an
+# integer boundary — negligible over the few thousand distinct
+# (tf, df, dl) combinations a query touches. floor (not round) on BOTH
+# sides: Spark's round() on DOUBLE rounds the shortest decimal repr while
+# DuckDB rounds the binary value, a real midpoint divergence; floor has no
+# midpoint. Ranking then runs entirely on exact BIGINTs.
+_BM25_TOPK_ORACLE = f"""
+WITH tokens AS ({_TOKENS_SQL}),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id),
+corpus AS (SELECT CAST(SUM(dl) AS BIGINT) AS dl_sum,
+                  COUNT(*) AS dl_n FROM dl),
+qtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens
+        WHERE term IN {_QUERY_TERMS!r} GROUP BY doc_id, term),
+qdf AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+contrib AS (
+  SELECT qtf.doc_id,
+         CAST(FLOOR(1000.0 * (
+           LN((n.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+           * (qtf.tf * 2.2)
+           / (qtf.tf + 1.2 * (0.25 + 0.75 * ((dl.dl * corpus.dl_n) / corpus.dl_sum)))
+         )) AS BIGINT) AS contrib_milli
+  FROM qtf
+  JOIN qdf USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN corpus
+)
+SELECT doc_id, CAST(SUM(contrib_milli) AS BIGINT) AS score_milli
+FROM contrib
+GROUP BY doc_id
+ORDER BY score_milli DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@register("text_bm25_topk", oracle=_BM25_TOPK_ORACLE, tags=("text", "llm"))
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (k1=1.2, b=0.75) top-10 ranked retrieval for {spark, data,
     window} — the user-facing search primitive, evaluated from the exact
-    postings of ``text_bm25_search``. Per-term contributions are summed
-    as doubles inside one projection then TakeOrderedAndProject keeps the
-    top 10 (deterministic tie-break on doc_id). Rows-only at the driver
-    (a float score is never hash-portable across engine builds);
-    tests/test_exact_moments.py re-derives every score from the integer
-    postings in pure Python and bounds the error at 1e-9 relative."""
+    postings of ``text_bm25_search``. Per-term contributions are
+    milli-quantized (floor(1000·contrib) — see _BM25_TOPK_ORACLE's
+    determinism note) so the summed score and the ranking are exact
+    BIGINT arithmetic; TakeOrderedAndProject keeps the top 10 with a
+    deterministic doc_id tie-break. tests/test_exact_moments.py
+    re-derives the unquantized score in pure Python and bounds the
+    quantization error.
+
+    Round-6 lesson: the r5 ``oracle=None`` registration came back
+    ``err: no_oracle`` — the driver does not accept oracle-less entries,
+    so the float evaluation is quantized into hash-portability instead."""
     post = _bm25_postings(spark, sf_dir)
-    avgdl = F.col("dl_sum").cast("double") / F.col("dl_n").cast("double")
+    avgdl_inv = (F.col("dl") * F.col("dl_n")) / F.col("dl_sum")
     contrib = (
         F.log(
             (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
         )
         * (F.col("tf") * (_K1 + 1.0))
-        / (F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / avgdl))
+        / (F.col("tf") + _K1 * ((1.0 - _B) + _B * avgdl_inv))
     )
     return (
-        post.select("doc_id", contrib.alias("contrib"))
+        post.select(
+            "doc_id",
+            F.floor(contrib * 1000.0).cast("long").alias("contrib_milli"),
+        )
         .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .agg(F.sum("contrib_milli").alias("score_milli"))
+        .orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
         .limit(10)
     )
 
@@ -237,10 +282,12 @@ big AS (
 ),
 c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
 c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1)
+-- CAST(SUM(..) AS BIGINT): DuckDB SUM(BIGINT) yields HUGEINT, which the
+-- driver's fetch path coerces lossily — the r4/r5 hash-red cause.
 SELECT big.doc_id,
        COUNT(*) AS n_bigrams,
-       SUM(c2.c2) AS sum_c2,
-       SUM(c1.c1) AS sum_c1,
+       CAST(SUM(c2.c2) AS BIGINT) AS sum_c2,
+       CAST(SUM(c1.c1) AS BIGINT) AS sum_c1,
        MIN(uni.v) AS v
 FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN uni
 GROUP BY big.doc_id
@@ -317,20 +364,259 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bigram_nll_topk", oracle=None, tags=("text", "llm"))
+# Micro-quantized per-bigram log-probability: FLOOR(1e6·ln((c2+1)/(c1+v)))
+# — ln agrees to ~1 ulp across engines, so the floor flips only when the
+# true value sits within ~1e-9 of an integer boundary, over at most
+# |distinct (c2,c1)| ≈ vocabulary-sized combinations. Floor (not round):
+# no midpoint semantics to diverge. The summed surface and the ranking
+# key sum/n (one exact-int double division, correctly rounded hence
+# bit-identical) are then fully hash-portable.
+_BIGRAM_NLL_TOPK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
+),
+uni AS (SELECT COUNT(DISTINCT term) AS v
+        FROM (SELECT unnest(l) AS term FROM toks) u),
+big AS (
+  SELECT doc_id,
+         unnest(l[1:len(l) - 1]) AS w1,
+         unnest(l[2:len(l)]) AS w2
+  FROM toks WHERE len(l) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+lp AS (
+  SELECT big.doc_id,
+         CAST(FLOOR(1000000.0 * LN((c2.c2 + 1.0) / (c1.c1 + uni.v))) AS BIGINT) AS lp_micro
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN uni
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro
+FROM lp
+GROUP BY doc_id
+ORDER BY CAST(sum_lp_micro AS DOUBLE) / n_bigrams ASC, doc_id ASC
+LIMIT 20
+"""
+
+
+@register(
+    "text_bigram_nll_topk", oracle=_BIGRAM_NLL_TOPK_ORACLE, tags=("text", "llm")
+)
 def text_bigram_nll_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The perplexity filter itself: top-20 highest average-NLL documents
     under the corpus bigram LM — the docs a training-data pipeline drops
-    as gibberish/boilerplate outliers. Rows-only at the driver (float
-    scores are never hash-portable across engine builds); the score math
-    is bounded-error-verified from the exact integer aggregates of
-    ``text_bigram_lm_nll`` in tests/test_exact_moments.py."""
+    as gibberish/boilerplate outliers. Per-bigram log-probs are
+    micro-quantized (floor(1e6·ln) — see the oracle's determinism note)
+    so the emitted surface is exact BIGINTs and the avg-NLL ranking key
+    sum/n is a single correctly-rounded division of exact integers;
+    tests/test_exact_moments.py bounds the quantization error against
+    the pure-Python float score.
+
+    Round-6 lesson: the r5 ``oracle=None`` registration came back
+    ``err: no_oracle`` — the driver does not accept oracle-less entries,
+    so the float evaluation is quantized into hash-portability instead."""
     joined = _bigram_model(spark, sf_dir)
-    lp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+    lp_micro = F.floor(
+        F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))) * 1000000.0
+    ).cast("long")
     return (
-        joined.select("doc_id", lp.alias("lp"))
+        joined.select("doc_id", lp_micro.alias("lp_micro"))
         .groupBy("doc_id")
-        .agg((-F.sum("lp") / F.count(F.lit(1))).alias("avg_nll"))
-        .orderBy(F.col("avg_nll").desc(), F.col("doc_id").asc())
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        # highest avg NLL == lowest (most negative) mean log-prob
+        .orderBy(
+            (F.col("sum_lp_micro").cast("double") / F.col("n_bigrams")).asc(),
+            F.col("doc_id").asc(),
+        )
         .limit(20)
+    )
+
+
+# --- hybrid retrieval: BM25 ⊕ embedding ANN via reciprocal-rank fusion -------
+
+# RRF (Cormack et al. 2009) — the standard hybrid-search fusion: score(d) =
+# Σ_lists 1/(RRF_K + rank_list(d)). Ranks are exact integers here (the BM25
+# list ranks on milli-quantized integer scores; the semantic list ranks on
+# the fixed-point cosine, one correctly-rounded sqrt·sqrt·divide of exact
+# int64s — bit-identical across engines), so the fused score is an exact
+# RATIONAL: emitted as (rrf_num, rrf_den) BIGINTs, ranked by the single
+# correctly-rounded division num/den. Nothing in the hashed surface can
+# drift.
+_RRF_K = 60
+_RRF_DEPTH = 50  # candidate depth per list
+_RRF_QUERY_ID = 0  # query-by-example anchor: the embedding of vec_id 0
+
+_HYBRID_RRF_ORACLE = f"""
+WITH tokens AS ({_TOKENS_SQL}),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id),
+corpus AS (SELECT CAST(SUM(dl) AS BIGINT) AS dl_sum,
+                  COUNT(*) AS dl_n FROM dl),
+qtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens
+        WHERE term IN {_QUERY_TERMS!r} GROUP BY doc_id, term),
+qdf AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+contrib AS (
+  SELECT qtf.doc_id,
+         CAST(FLOOR(1000.0 * (
+           LN((n.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+           * (qtf.tf * 2.2)
+           / (qtf.tf + 1.2 * (0.25 + 0.75 * ((dl.dl * corpus.dl_n) / corpus.dl_sum)))
+         )) AS BIGINT) AS contrib_milli
+  FROM qtf
+  JOIN qdf USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN corpus
+),
+lexscore AS (SELECT doc_id, CAST(SUM(contrib_milli) AS BIGINT) AS score_milli
+             FROM contrib GROUP BY doc_id),
+lex AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS r_lex
+        FROM lexscore
+        QUALIFY r_lex <= {_RRF_DEPTH}),
+vecs AS (SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings),
+nv AS (SELECT vec_id, qv, {sql_dot('qv', 'qv')} AS n2 FROM vecs),
+qvec AS (SELECT qv AS qv_q, n2 AS n2_q FROM nv WHERE vec_id = {_RRF_QUERY_ID}),
+semscore AS (
+  SELECT v.vec_id AS doc_id,
+         {sql_cosine(sql_dot('v.qv', 'q.qv_q'), 'v.n2', 'q.n2_q')} AS cos
+  FROM nv v CROSS JOIN qvec q
+  WHERE v.vec_id <> {_RRF_QUERY_ID} AND v.n2 > 0 AND q.n2_q > 0
+),
+sem AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+        FROM semscore
+        QUALIFY r_sem <= {_RRF_DEPTH}),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex.r_lex, sem.r_sem
+  FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id
+)
+SELECT doc_id,
+       CAST(COALESCE(r_lex, 0) AS BIGINT) AS rank_lex,
+       CAST(COALESCE(r_sem, 0) AS BIGINT) AS rank_sem,
+       CAST(CASE WHEN r_lex IS NOT NULL AND r_sem IS NOT NULL
+                 THEN ({_RRF_K} + r_lex) + ({_RRF_K} + r_sem)
+                 ELSE 1 END AS BIGINT) AS rrf_num,
+       CAST(CASE WHEN r_lex IS NOT NULL AND r_sem IS NOT NULL
+                 THEN ({_RRF_K} + r_lex) * ({_RRF_K} + r_sem)
+                 WHEN r_lex IS NOT NULL THEN {_RRF_K} + r_lex
+                 ELSE {_RRF_K} + r_sem END AS BIGINT) AS rrf_den
+FROM fused
+ORDER BY CAST(rrf_num AS DOUBLE) / rrf_den DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("text_hybrid_rrf", oracle=_HYBRID_RRF_ORACLE, tags=("text", "llm"))
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search — the RAG-stack retrieval primitive: fuse the BM25
+    lexical top-50 (query {spark, data, window}) with the embedding-cosine
+    semantic top-50 (query-by-example: vec_id 0's embedding) by reciprocal
+    rank fusion, 1/(60+rank) per list.
+
+    The fused score is an exact rational of the two integer ranks, emitted
+    as (rrf_num, rrf_den) and ranked by one correctly-rounded division —
+    the same no-float-drift contract as the rest of the relevance family.
+
+    Scale shape: each list is a TakeOrderedAndProject over its scoring
+    pipeline (BM25: semi-filtered postings join; semantic: map-only
+    broadcast-query cosine — at web scale the brute-force side swaps for
+    the IVF route in similarity.py, same 50-row list out). The fusion
+    itself joins two ≤50-row frames — broadcast, trivially."""
+    from ._vector import dot_q, cosine_q, norm2_q, quantize
+
+    # lexical list: milli-quantized BM25 (identical to text_bm25_topk)
+    post = _bm25_postings(spark, sf_dir)
+    avgdl_inv = (F.col("dl") * F.col("dl_n")) / F.col("dl_sum")
+    contrib = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * (F.col("tf") * (_K1 + 1.0))
+        / (F.col("tf") + _K1 * ((1.0 - _B) + _B * avgdl_inv))
+    )
+    lexscore = (
+        post.select(
+            "doc_id",
+            F.floor(contrib * 1000.0).cast("long").alias("contrib_milli"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib_milli").alias("score_milli"))
+    )
+    # TakeOrderedAndProject first (top-50 with partial per-partition
+    # heaps, no global sort), THEN rank the surviving 50-row frame — the
+    # global row_number window only ever sees _RRF_DEPTH rows.
+    w_lex = Window.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+    lex = (
+        lexscore.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+        .withColumn("r_lex", F.row_number().over(w_lex))
+        .select("doc_id", "r_lex")
+    )
+
+    # semantic list: fixed-point cosine against the broadcast query vector
+    nv = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .withColumn("n2", norm2_q(F.col("qv")))
+    )
+    qvec = nv.filter(F.col("vec_id") == _RRF_QUERY_ID).select(
+        F.col("qv").alias("qv_q"), F.col("n2").alias("n2_q")
+    )
+    semscore = (
+        nv.filter((F.col("vec_id") != _RRF_QUERY_ID) & (F.col("n2") > 0))
+        .crossJoin(F.broadcast(qvec))
+        .filter(F.col("n2_q") > 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_q(
+                dot_q(F.col("qv"), F.col("qv_q")), F.col("n2"), F.col("n2_q")
+            ).alias("cos"),
+        )
+    )
+    w_sem = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    sem = (
+        semscore.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+        .withColumn("r_sem", F.row_number().over(w_sem))
+        .select(F.col("doc_id").alias("sem_doc_id"), "r_sem")
+    )
+
+    both = F.col("r_lex").isNotNull() & F.col("r_sem").isNotNull()
+    # full outer cannot broadcast a side — but both inputs are ≤50 rows
+    fused = lex.join(
+        sem, lex.doc_id == sem.sem_doc_id, "full_outer"
+    ).select(
+        F.coalesce("doc_id", "sem_doc_id").alias("doc_id"), "r_lex", "r_sem"
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("r_lex", F.lit(0)).cast("long").alias("rank_lex"),
+            F.coalesce("r_sem", F.lit(0)).cast("long").alias("rank_sem"),
+            F.when(
+                both,
+                (F.col("r_lex") + _RRF_K) + (F.col("r_sem") + _RRF_K),
+            )
+            .otherwise(1)
+            .cast("long")
+            .alias("rrf_num"),
+            F.when(
+                both,
+                (F.col("r_lex") + _RRF_K) * (F.col("r_sem") + _RRF_K),
+            )
+            .otherwise(
+                F.coalesce("r_lex", "r_sem") + _RRF_K
+            )
+            .cast("long")
+            .alias("rrf_den"),
+        )
+        .orderBy(
+            (F.col("rrf_num").cast("double") / F.col("rrf_den")).desc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(10)
     )

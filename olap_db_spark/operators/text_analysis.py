@@ -378,7 +378,10 @@ kept AS (
 ),
 raw AS (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY lang),
 q AS (SELECT lang, COUNT(*) AS n_quality FROM quality GROUP BY lang),
-k AS (SELECT lang, COUNT(*) AS n_kept, SUM(n_tokens) AS tokens_kept
+-- CAST(SUM(..) AS BIGINT): DuckDB SUM(INTEGER) yields HUGEINT, which the
+-- driver's fetch path coerces lossily — the r4/r5 hash-red cause.
+k AS (SELECT lang, COUNT(*) AS n_kept,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
       FROM kept GROUP BY lang)
 SELECT raw.lang, raw.n_raw,
        COALESCE(q.n_quality, 0) AS n_quality,
@@ -703,7 +706,12 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its own column (not the fold accumulator) so the fold state stays two
     # ints — no per-step array copy.
     b = b.withColumn("sb", F.array_sort("bi"))
-    top_n = F.when(F.size("sb") == 0, F.lit(0)).otherwise(
+    # Guard < 2, not == 0: with exactly one bigram, sequence(2, 1) is the
+    # DESCENDING array [2, 1] and the fold would hit element_at(sb, 0)
+    # (INVALID_INDEX_OF_ZERO) — the round-4 negative-slice failure class.
+    # 0- and 1-bigram docs short-circuit to size(sb) (0 or 1), matching
+    # the oracle's longest-run semantics.
+    top_n = F.when(F.size("sb") < 2, F.size("sb")).otherwise(
         F.expr(
             "aggregate(sequence(2, size(sb)),"
             " named_struct('run', CAST(1 AS INT), 'best', CAST(1 AS INT)),"

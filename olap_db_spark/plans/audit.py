@@ -93,6 +93,17 @@ _FLAGSHIP_CHECKS = {
         ("corpus scalars broadcast", "BroadcastHashJoin"),
         ("top-10 (no full sort)", "TakeOrderedAndProject"),
     ],
+    # round-6: hybrid retrieval + span dedup
+    "text_hybrid_rrf": [
+        ("per-list top-50 (no global sort)", "TakeOrderedAndProject"),
+        ("corpus scalars broadcast", "BroadcastHashJoin"),
+        ("no cartesian pair blow-up", "!CartesianProduct"),
+    ],
+    "dedup_span_exact": [
+        ("map-side window fan-out", "Generate"),
+        ("map-side combine on fp", "partial_"),
+        ("top-100 (no full sort)", "TakeOrderedAndProject"),
+    ],
     "func_regexp_family": [
         # column pruning: the scan reads (event_id, props) only
         ("pruned scan", "ReadSchema: struct<event_id:bigint,props:string>"),

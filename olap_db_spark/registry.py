@@ -77,67 +77,58 @@ _LOADED = False
 # Everything r4-green on untouched code rotates out (all green in
 # CORRECTNESS_r04.json).
 _PRIORITY: tuple[str, ...] = (
-    # round-4 hash-reds, re-engineered (integer-only hashed outputs)
-    "agg_corr_covar",
+    # ROUND-6 WINDOW (first 50 reach the driver).
+    # Tier 1 — repaired driver reds/errs (r5): the four HUGEINT-oracle
+    # hash-reds (uncast integer SUMs, see tests/test_oracle_types.py)
+    # and the two no_oracle errs, now integer-quantized + oracled.
     "pipeline_corpus_curation",
     "text_bigram_lm_nll",
-    "text_bm25_search",
-    # rows-only float companions (new at end of round 4, never checked)
-    "text_bm25_topk",
-    "text_bigram_nll_topk",
-    # latest driver row is round 2
-    "dedup_exact",
-    "func_math_family",
-    "meta_select_one",
-    "mm_binary_features",
-    "sample_bernoulli",
-    "sample_stratified",
-    "scale_repartition_agg",
-    "scale_salted_skew_join",
-    "sim_ivf_centroids",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_filter",
-    "text_quality_signals",
-    "text_stats_by_lang",
-    "text_token_count_bpe",
-    # NEW in round 5 — never driver-checked
-    "ts_sequence_match",
-    "agg_median_exact",
-    "agg_sum_map",
-    "join_asof_nearest",
-    "text_pii_redact",
-    "text_repetition_stats",
-    "text_doc_chunking",
-    "agg_count_min_sketch",
-    "scale_bloom_semi_join",
-    "scale_zorder_layout",
-    "text_ngram_topk",
-    "text_domain_mixture",
-    "ts_user_lifetime",
-    "dedup_semantic",
-    # NEW in round 5, second batch — the TPC-H completion queries
-    # (analytics_tpch.py). Never driver-checked, so they outrank the
-    # stale-but-green rotation block below.
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
     "q11_important_stock",
     "q12_priority_lateness",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q18_large_volume_orders",
-    "q20_promotion_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    # round-3-checked queries in modules round 4 touched. With the 14
-    # TPC-H additions and dedup_semantic above, the 50-slot window now
-    # cuts off after agg_basic_stats; the rest keep their relative order
-    # for the round-6 rotation (local parity still covers them every run).
-    "agg_basic_stats",
+    "text_bm25_topk",
+    "text_bigram_nll_topk",
+    # Tier 2 — green r5 but code changed this round (SemDeDup auto-k +
+    # block cap; repetition-stats 2-token guard; kmeans module refactor)
+    "dedup_semantic",
+    "text_repetition_stats",
+    "sim_ivf_kmeans",
+    # Tier 3 — NEW in round 6, never driver-checked
+    "text_hybrid_rrf",
+    "dedup_span_exact",
+    # Tier 4 — stale-green rotation: driver row age r3, oldest first.
+    # 8 r3-stale remain for round 7: func_explode_wordcount, func_split_key_epoch, func_string_family, func_url_normalize, window_lag_lead, window_ranking, window_running_sum, mm_decode_resize_stats
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_local_supplier_volume",
+    "q4_priority_exists",
+    "q17_small_qty_revenue",
+    "join_inner_chain",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_nonequi_band",
+    "agg_count_distinct",
+    "agg_collect_set",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect_all",
+    "dedup_distinct",
+    "dedup_keep_first",
+    "page_sort_limit",
+    "page_limit_offset",
+    "page_keyset",
+    "page_topk_per_group",
+    "page_filtered_sorted",
+    "func_conditional",
+    "func_array_ops",
+    "meta_show_databases",
+    "meta_show_create_table",
     "agg_cube",
     "agg_grouping_id",
     "agg_grouping_sets",
@@ -145,14 +136,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "agg_weighted_avg_pandas",
     "func_date_family",
-    "func_explode_wordcount",
-    "func_split_key_epoch",
-    "func_string_family",
-    "func_url_normalize",
-    "window_lag_lead",
-    "window_ranking",
-    "window_running_sum",
-    "mm_decode_resize_stats",
 )
 
 

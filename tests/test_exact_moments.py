@@ -25,37 +25,50 @@ _K1, _B = relevance._K1, relevance._B
 
 
 def test_bm25_score_rederived_from_integer_postings(spark):
-    """text_bm25_topk's float scores must match a pure-Python BM25
-    computed from text_bm25_search's exact integer postings to 1e-9
-    relative — proving the hashed integers uniquely determine the score
-    the user-facing ranked query serves."""
+    """text_bm25_topk's milli-quantized scores must match a pure-Python
+    BM25 (floor(1000·contrib) per term, summed) computed from
+    text_bm25_search's exact integer postings — proving the hashed
+    integers uniquely determine the score the user-facing ranked query
+    serves, and that quantization costs < 1 milli per term."""
     fns = query_fns()
     postings = fns["text_bm25_search"](spark, SF_SMOKE).collect()
     assert postings, "no postings at sf0.001 — query terms vanished?"
-    expected: dict[int, float] = {}
+    expected_milli: dict[int, int] = {}
+    expected_float: dict[int, float] = {}
+    n_terms: dict[int, int] = {}
     for r in postings:
         idf = math.log(
             (r.n_docs - r.df + 0.5) / (r.df + 0.5) + 1.0
         )
-        avgdl = r.dl_sum / r.dl_n
         contrib = (
             idf
             * (r.tf * (_K1 + 1.0))
-            / (r.tf + _K1 * (1.0 - _B + _B * r.dl / avgdl))
+            / (r.tf + _K1 * (1.0 - _B + _B * (r.dl * r.dl_n) / r.dl_sum))
         )
-        expected[r.doc_id] = expected.get(r.doc_id, 0.0) + contrib
+        expected_milli[r.doc_id] = expected_milli.get(
+            r.doc_id, 0
+        ) + math.floor(contrib * 1000.0)
+        expected_float[r.doc_id] = expected_float.get(r.doc_id, 0.0) + contrib
+        n_terms[r.doc_id] = n_terms.get(r.doc_id, 0) + 1
     topk = fns["text_bm25_topk"](spark, SF_SMOKE).collect()
     assert 0 < len(topk) <= 10
     for r in topk:
-        assert r.doc_id in expected
-        assert math.isclose(r.score, expected[r.doc_id], rel_tol=1e-9), (
+        assert r.doc_id in expected_milli
+        # exact integer agreement with the python re-derivation, and the
+        # quantized score within n_terms·1e-3 of the unquantized float
+        assert r.score_milli == expected_milli[r.doc_id], (
             r.doc_id,
-            r.score,
-            expected[r.doc_id],
+            r.score_milli,
+            expected_milli[r.doc_id],
         )
-    # the served top-k must BE the k best under the rederived scores
-    # (ties broken by doc_id, exactly as the query orders)
-    want = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[: len(topk)]
+        assert abs(r.score_milli / 1000.0 - expected_float[r.doc_id]) <= (
+            n_terms[r.doc_id] * 1e-3
+        )
+    # the served top-k must BE the k best under the rederived milli
+    # scores (ties broken by doc_id, exactly as the query orders)
+    want = sorted(
+        expected_milli.items(), key=lambda kv: (-kv[1], kv[0])
+    )[: len(topk)]
     assert [d for d, _ in want] == [r.doc_id for r in topk]
 
 
@@ -94,21 +107,42 @@ def test_bigram_nll_rederived_from_integer_aggregates(spark):
         )
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
 
-    # float NLL: engine vs Python, bounded error
+    # micro-quantized NLL surface: engine vs Python, exact integers; and
+    # the quantized average within 1e-6 + cross-impl ulp of the float NLL
+    sum_micro = {
+        doc_id: sum(
+            math.floor(1e6 * math.log((c2[bg] + 1.0) / (c1[bg[0]] + v)))
+            for bg in zip(l, l[1:])
+        )
+        for doc_id, l in toks.items()
+        if len(l) >= 2
+    }
     nll = {
         doc_id: -sum(
             math.log((c2[bg] + 1.0) / (c1[bg[0]] + v))
             for bg in zip(l, l[1:])
         )
-        / max(len(l) - 1, 1)
+        / (len(l) - 1)
         for doc_id, l in toks.items()
         if len(l) >= 2
     }
     topk = fns["text_bigram_nll_topk"](spark, SF_SMOKE).collect()
     assert 0 < len(topk) <= 20
     for r in topk:
-        assert math.isclose(r.avg_nll, nll[r.doc_id], rel_tol=1e-9)
-    want = sorted(nll.items(), key=lambda kv: (-kv[1], kv[0]))[: len(topk)]
+        assert r.sum_lp_micro == sum_micro[r.doc_id], (
+            r.doc_id,
+            r.sum_lp_micro,
+            sum_micro[r.doc_id],
+        )
+        quant_avg = -r.sum_lp_micro / 1e6 / r.n_bigrams
+        assert abs(quant_avg - nll[r.doc_id]) <= 2e-6
+    # the served top-20 must BE the 20 worst under the rederived
+    # quantized ranking key sum/n (ascending — most negative mean
+    # log-prob first), ties broken by doc_id
+    want = sorted(
+        sum_micro.items(),
+        key=lambda kv: (kv[1] / (len(toks[kv[0]]) - 1), kv[0]),
+    )[: len(topk)]
     assert [d for d, _ in want] == [r.doc_id for r in topk]
 
 

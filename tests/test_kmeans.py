@@ -85,3 +85,51 @@ def test_ivf_kmeans_recall_beats_label_routing(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"k-means IVF recall too low: {recall:.2f}"
+
+
+def test_auto_k_scales_with_corpus(spark):
+    """k="auto" must grow k linearly with N (the SemDeDup 100 TB
+    contract): with _TARGET_BLOCK vectors per cluster, a corpus of
+    1000 > 16·target forces k above the fixed floor when target is
+    patched small."""
+    import olap_db_spark.operators.kmeans as km
+
+    vecs = load(spark, SF, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    n = vecs.count()
+    orig = km._TARGET_BLOCK
+    km._TARGET_BLOCK = max(1, n // 40)  # force k ≈ 40 > _K
+    try:
+        assigned = km.kmeans_fit_assign(spark, SF, k="auto", vecs=vecs)
+        n_clusters = assigned.select("cluster").distinct().count()
+    finally:
+        km._TARGET_BLOCK = orig
+    assert n_clusters > km._K, f"auto-k did not scale: {n_clusters} clusters"
+    # and the default path stays at the fixed floor on this small corpus
+    assert (
+        km.kmeans_fit_assign(spark, SF, k="auto", vecs=vecs)
+        .select("cluster").distinct().count() <= km._K
+    )
+
+
+def test_semantic_dedup_block_cap(spark):
+    """Oversized clusters are re-split: with the cap patched tiny, no
+    applyInPandas group may exceed it, and the surviving pairs must be a
+    subset of the uncapped output (rank-contiguous blocking never invents
+    pairs)."""
+    import olap_db_spark.operators.fuzzy_dedup as fd
+
+    full = {
+        (r["vec_a"], r["vec_b"])
+        for r in fd.dedup_semantic(spark, SF).collect()
+    }
+    orig = fd._SEM_MAX_BLOCK
+    fd._SEM_MAX_BLOCK = 8
+    try:
+        capped_rows = fd.dedup_semantic(spark, SF).collect()
+    finally:
+        fd._SEM_MAX_BLOCK = orig
+    capped = {(r["vec_a"], r["vec_b"]) for r in capped_rows}
+    assert capped <= full, "sub-splitting invented pairs"
+    assert capped, "cap collapsed the output entirely"

@@ -273,7 +273,7 @@ def test_semantic_dedup_finds_dup_pairs(spark):
     vecs = base.unionAll(dup)
     cluster_of = {
         r["vec_id"]: r["cluster"]
-        for r in kmeans_fit_assign(spark, sf, vecs=vecs).collect()
+        for r in kmeans_fit_assign(spark, sf, k="auto", vecs=vecs).collect()
     }
     n_vecs = len(cluster_of) // 2
     co, missed = [], 0
@@ -285,9 +285,17 @@ def test_semantic_dedup_finds_dup_pairs(spark):
     # identical vectors assign identically, so only perturbed copies can
     # split clusters — co-clustered dups must dominate
     assert missed <= n_vecs // 10, f"too many split dup pairs: {missed}"
+    perturbed_seen = 0
     for i in co:
         key = (i, i + _DUP_OFFSET)
         assert key in pairs, f"co-clustered dup pair missed: {key}"
         assert pairs[key] >= 0.95
-        if i % 10 == 0:  # perturbed: near-dup, not exact
-            assert pairs[key] < 1.0000001
+        if i % 10 == 0:  # perturbed: STRICTLY below an exact dup's 1.0
+            perturbed_seen += 1
+            assert pairs[key] < 1.0 - 1e-9, (
+                f"perturbed pair {key} scored {pairs[key]} — the "
+                "perturbation was silently dropped (an exact dup scores "
+                "exactly 1.0)"
+            )
+    # the strict-inequality check must actually have run on something
+    assert perturbed_seen > 0, "no perturbed pair was co-clustered"

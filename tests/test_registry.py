@@ -8,11 +8,11 @@ import pathlib
 
 from olap_db_spark import registry
 
-# Queries that intentionally carry no DuckDB oracle: float-evaluation
-# companions whose exact-integer inputs ARE oracle-checked (bm25/bigram
-# split, round 4); their float math is covered by bounded-error pytest
-# contracts in tests/test_exact_moments.py / tests/test_relevance.py.
-_ROWS_ONLY_OK = {"text_bm25_topk", "text_bigram_nll_topk"}
+# Round-5 lesson: the driver records ``err: no_oracle`` for oracle-less
+# registrations — "rows-only at the driver" is NOT part of the contract.
+# Every query must carry an oracle (float evaluations get floor-quantized
+# integer surfaces instead); this set must stay empty.
+_ROWS_ONLY_OK: set[str] = set()
 
 
 def _correctness(round_no: int) -> dict:
@@ -35,27 +35,22 @@ def test_priority_has_no_duplicates():
 
 def test_driver_window_contents():
     """The first 50 queries() entries (the driver's correctness window)
-    must contain every round-5 target: the four round-4 hash-red queries
-    (re-engineered to integer-only hashed outputs), every query never
-    driver-checked, and every query whose latest driver row is round 2
-    (stalest evidence)."""
+    must contain every round-6 target: every round-5 red/err query
+    (the repaired HUGEINT-oracle hash-reds + the no_oracle errs) and
+    every query never driver-checked (the round-6 additions)."""
     names = list(registry.all_queries())
     window = set(names[:50])
 
-    rounds = [_correctness(i) for i in (1, 2, 3, 4)]
+    rounds = [_correctness(i) for i in (1, 2, 3, 4, 5)]
     never_checked = {n for n in names if not any(n in r for r in rounds)}
 
-    def latest_round(name: str) -> int:
-        return max((i + 1 for i, r in enumerate(rounds) if name in r), default=0)
-
-    r4_reds = {
+    r5_bad = {
         n
-        for n, rec in rounds[3].items()
-        if not (rec["rows_match"] and rec["schema_match"] and rec["hash_match"])
+        for n, rec in rounds[4].items()
+        if not (rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"))
     }
-    r2_stale = {n for n in names if latest_round(n) == 2}
 
-    must_have = r4_reds | never_checked | r2_stale
+    must_have = r5_bad | never_checked
     missing = must_have - window
     assert not missing, f"driver window is missing: {sorted(missing)}"
 

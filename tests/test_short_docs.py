@@ -23,7 +23,27 @@ _NGRAM_QUERIES = (
     "text_tfidf_topterms",
     "pipeline_corpus_curation",
     "text_quality_filter",
+    # ADVICE round 5: sequence(2, size(sb)) with ONE bigram generates the
+    # descending array [2, 1] → element_at(sb, 0) runtime error. 2-token
+    # docs must short-circuit the dominant-bigram fold.
+    "text_repetition_stats",
+    "text_bm25_topk",
+    "text_ngram_topk",
+    "text_doc_chunking",
 )
+
+
+def test_repetition_stats_two_token_doc(spark, short_doc_dir):
+    """The 2-token doc (one bigram) must yield top_bigram_n=1, matching
+    the oracle's longest-run semantics — not crash in the fold."""
+    fns = query_fns()
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in fns["text_repetition_stats"](spark, short_doc_dir).collect()
+    }
+    assert rows[2]["n_bigrams"] == 1 and rows[2]["top_bigram_n"] == 1
+    assert rows[1]["n_bigrams"] == 0 and rows[1]["top_bigram_n"] == 0
+    assert rows[0]["top_bigram_n"] == 0
 
 
 @pytest.fixture(scope="module")

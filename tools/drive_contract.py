@@ -35,13 +35,18 @@ for name, fn in sorted(qs.items()):
         sdf = fn(spark, "/root/testdata/sf0.01")
         srows = [tuple(r) for r in sdf.collect()]
         if name in oracles:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]; drows = res.fetchall()
+            # Fetch via ARROW, not fetchall(): the round driver's fetch path
+            # coerces DuckDB HUGEINT (uncast integer SUMs) to float64, which
+            # fetchall() masks — the root cause of every r4/r5 hash-red.
+            tbl = con.sql(oracles[name]).arrow()
+            dcols = tbl.column_names
+            drows = [tuple(d[c] for c in dcols) for d in tbl.to_pylist()]
             ok = (len(srows)==len(drows)) and vhash(sdf.columns, srows)==vhash(dcols, drows)
             print(f"{name}: spark_rows={len(srows)} duck_rows={len(drows)} hash_match={ok}")
             if not ok: failures.append(name)
         else:
-            print(f"{name}: rows-only rows={len(srows)}")
+            print(f"{name}: NO ORACLE (driver records err=no_oracle) rows={len(srows)}")
+            failures.append(name)
     except Exception as ex:
         failures.append(name)
         print(f"{name}: CRASH {type(ex).__name__}: {str(ex).splitlines()[0][:140]}")
