@@ -1,0 +1,162 @@
+"""Iterative graph analytics over the relational tables — PageRank on the
+customer–supplier purchase graph.
+
+Second proof (after kmeans.py's Lloyd loop) that ITERATIVE algorithms fit
+this engine's exactness contract: every iteration is pure integer
+arithmetic (fixed-point ranks, floor-division damping), so a fixed number
+of iterations UNROLLS into plain SQL and the whole algorithm
+hash-compares against DuckDB — while the Spark side builds the same
+fixed-point loop as a chained DataFrame DAG, the shape Spark's own
+PageRank examples use.
+
+Scale shape per iteration (the 100 TB contract):
+- contributions: one equi-join of the rank table onto the edge list
+  (shuffle on src), then one hash aggregate on dst — the standard
+  vertex-centric message-passing round. Ranks are O(V), edges O(E);
+  nothing else is materialized.
+- the edge list is built ONCE (distinct customer–supplier pairs from the
+  order lines) and reused across iterations; on a cluster it would be
+  bucketed by src so every iteration's join is shuffle-free.
+- damping uses integer floor ops only: r' = floor(0.15·S₀/N) +
+  floor(0.85·Σ floor(r_src/deg_src)) at scale 1e9 — no float ever enters
+  the state, so iterations are bit-identical in any engine or partition
+  order. (Rank mass leaks a few units per floor — identically in both
+  engines; PageRank's ordering, the thing consumers use, is unaffected.)
+
+Reference basis: PageRank (Page et al. 1999); the reference repo has no
+graph surface — this is part of the beyond-reference analytics layer
+(SURVEY.md §2.3 Layer C extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000_000  # fixed-point: initial total mass = N × 1e9 / N
+_PR_TOPK = 25
+
+# Bipartite purchase graph: an undirected edge per DISTINCT
+# (customer, supplier) pair that shares at least one order line, expressed
+# as two directed edges. Node ids: customers as 2·c_custkey, suppliers as
+# 2·s_suppkey+1 (disjoint integer spaces).
+_EDGES_SQL = """
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT DISTINCT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    """Unrolled integer PageRank CTE chain; final relation rank{iters}
+    with columns (node, rank)."""
+    parts = [
+        f"edges AS ({_EDGES_SQL})",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"rank0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""contrib{i} AS (
+  SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS c
+  FROM edges e
+  JOIN rank{i - 1} r ON r.node = e.src
+  JOIN deg d ON d.node = e.src
+  GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""rank{i} AS (
+  SELECT n.node,
+         CAST({(15 * _PR_SCALE) // 100} AS BIGINT)
+           + (85 * COALESCE(c.c, CAST(0 AS BIGINT))) // 100 AS rank
+  FROM nodes n LEFT JOIN contrib{i} c ON c.node = n.node)"""
+        )
+    return ",\n".join(parts)
+
+
+_PAGERANK_ORACLE = f"""
+WITH {_pagerank_sql()}
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       (node - node % 2) // 2 AS entity_key,
+       CAST(rank AS BIGINT) AS rank
+FROM rank{_PR_ITERS}
+ORDER BY rank DESC, node
+LIMIT {_PR_TOPK}
+"""
+
+
+@register("graph_pagerank_purchases", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative"))
+def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 PageRank nodes of the customer–supplier purchase graph —
+    'which suppliers sit at the center of the purchasing network', the
+    influence-ranking shape behind seller/fraud analytics.
+
+    Integer fixed-point damping (floor ops only, see module docstring)
+    makes all 5 iterations bit-exact in both engines; the edge list is
+    localCheckpoint'd once so the 5 join+agg rounds rescan a
+    materialized table instead of re-deriving the distinct pairs."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionAll(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    # materialize once; 5 iterations rescan this instead of the base join
+    edges = edges.localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    rank = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                rank.withColumnRenamed("node", "src"), "src"
+            )
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank DIV deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        rank = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((15 * _PR_SCALE) // 100)
+                    + F.expr("(85 * COALESCE(c, 0)) DIV 100")
+                ).alias("rank"),
+            )
+        )
+    return (
+        rank.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("kind"),
+            F.expr("(node - node % 2) DIV 2").alias("entity_key"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(_PR_TOPK)
+    )

@@ -946,3 +946,85 @@ def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- per-source KL divergence from the corpus distribution -------------------
+
+# Domain-shift monitor: KL(P_source ‖ P_corpus) over the whitespace-token
+# unigram distributions — the drift metric a curation pipeline watches to
+# catch a crawl slice going off-distribution (and the weighting input for
+# domain-temperature sampling). Per-term contributions are nano-quantized
+# (floor(1e9 · p·ln(p/q))): the ln/multiply chain agrees across engines to
+# ~2 ulp, so a floor flip needs the true value within ~1e-11 of an integer
+# boundary — negligible over vocabulary-sized distinct count combinations.
+# Everything hashed is then exact BIGINT.
+_KL_SCALE = 1_000_000_000
+
+_DOMAIN_KL_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_WS}) AS w FROM documents
+),
+sc AS (SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY source, w),
+st AS (SELECT source, COUNT(*) AS n_s FROM tok GROUP BY source),
+cc AS (SELECT w, COUNT(*) AS c_cw FROM tok GROUP BY w),
+ct AS (SELECT COUNT(*) AS n_c FROM tok),
+contrib AS (
+  SELECT sc.source,
+         CAST(FLOOR({_KL_SCALE}.0 * ((sc.c_sw * 1.0 / st.n_s)
+             * LN((sc.c_sw * 1.0 / st.n_s) / (cc.c_cw * 1.0 / ct.n_c))))
+           AS BIGINT) AS t
+  FROM sc
+  JOIN st USING (source)
+  JOIN cc USING (w)
+  CROSS JOIN ct
+)
+SELECT source,
+       COUNT(*) AS n_terms,
+       CAST(SUM(t) AS BIGINT) AS kl_nano
+FROM contrib
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_domain_kl", oracle=_DOMAIN_KL_ORACLE, tags=("text", "llm"))
+def text_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_source ‖ P_corpus) per document source over unigram token
+    distributions, nano-quantized into exact BIGINTs (see the oracle's
+    determinism note) — the domain-drift monitor of a curation pipeline.
+
+    Plan: two hash aggregates over the token stream ((source, w) and (w)
+    — both map-side combined), the vocabulary-sized corpus counts joined
+    back onto the per-source counts (broadcast here; at 100M+-term
+    vocabularies drop the hint and AQE shuffles on w — shape unchanged),
+    per-source totals and the 1-row corpus total broadcast, then one
+    final tiny aggregate. Nothing global ever exceeds O(vocabulary)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+    sc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    st = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    cc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_cw"))
+    ct = tok.agg(F.count(F.lit(1)).alias("n_c"))
+    p = (F.col("c_sw") * 1.0) / F.col("n_s")
+    q = (F.col("c_cw") * 1.0) / F.col("n_c")
+    contrib = (
+        sc.join(F.broadcast(st), "source")
+        .join(cc, "w")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            F.floor(F.lit(float(_KL_SCALE)) * (p * F.log(p / q)))
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("t").alias("kl_nano"),
+        )
+        .orderBy("source")
+    )

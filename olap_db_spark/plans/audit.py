@@ -104,6 +104,17 @@ _FLAGSHIP_CHECKS = {
         ("map-side combine on fp", "partial_"),
         ("top-100 (no full sort)", "TakeOrderedAndProject"),
     ],
+    "graph_pagerank_purchases": [
+        # vertex-centric rounds: rank-onto-edges joins + dst aggregates;
+        # top-k never sorts the full rank table
+        ("per-iteration partial aggregation", "partial_"),
+        ("top-25 (no full sort)", "TakeOrderedAndProject"),
+        ("no cartesian blow-up", "!CartesianProduct"),
+    ],
+    "text_domain_kl": [
+        ("per-source totals broadcast", "BroadcastHashJoin"),
+        ("map-side combine on (source, w)", "partial_count"),
+    ],
     "func_regexp_family": [
         # column pruning: the scan reads (event_id, props) only
         ("pruned scan", "ReadSchema: struct<event_id:bigint,props:string>"),

@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "olap_db_spark.operators.relevance",
     "olap_db_spark.operators.sketches",
     "olap_db_spark.operators.analytics_tpch",
+    "olap_db_spark.operators.graph",
 )
 
 
@@ -63,19 +64,6 @@ _LOADED = False
 # earn a CORRECTNESS row each round. Names listed here come first (in this
 # order); everything else follows in registration order.
 #
-# Round-5 rotation: slots 1-4 are the four round-4 hash-red queries,
-# re-engineered at end of round 4 to emit only exact integers/digit-strings
-# (no quantized transcendentals) — they re-earn green rows first. Slots 5-6
-# are the new rows-only float companions split out of bm25/bigram. Then the
-# 15 queries whose latest driver row is still round 2, then the 13 queries
-# NEW in round 5 (7 early-round + 6 sketch/layout/mixture additions — never
-# driver-checked, so they outrank stale-but-green rows), then 16 of the 22
-# round-3-checked queries living in modules round 4 edited (aggregates,
-# scalar_funcs, windows, metadata_ops, multimodal_ops — local parity green,
-# but the driver has not re-seen them on current code; the 6 dropped to make
-# room are the metadata/scalar entries whose modules saw the lightest edits).
-# Everything r4-green on untouched code rotates out (all green in
-# CORRECTNESS_r04.json).
 _PRIORITY: tuple[str, ...] = (
     # ROUND-6 WINDOW (first 50 reach the driver).
     # Tier 1 — repaired driver reds/errs (r5): the four HUGEINT-oracle
@@ -87,16 +75,24 @@ _PRIORITY: tuple[str, ...] = (
     "q12_priority_lateness",
     "text_bm25_topk",
     "text_bigram_nll_topk",
-    # Tier 2 — green r5 but code changed this round (SemDeDup auto-k +
-    # block cap; repetition-stats 2-token guard; kmeans module refactor)
+    # Tier 2 — green r4/r5 but code changed this round (SemDeDup auto-k +
+    # block cap; repetition-stats 2-token guard; kmeans module refactor;
+    # wavg FLOOR(l_quantity) symmetry fix)
     "dedup_semantic",
     "text_repetition_stats",
     "sim_ivf_kmeans",
+    "agg_weighted_avg_pandas",
     # Tier 3 — NEW in round 6, never driver-checked
     "text_hybrid_rrf",
     "dedup_span_exact",
-    # Tier 4 — stale-green rotation: driver row age r3, oldest first.
-    # 8 r3-stale remain for round 7: func_explode_wordcount, func_split_key_epoch, func_string_family, func_url_normalize, window_lag_lead, window_ranking, window_running_sum, mm_decode_resize_stats
+    "graph_pagerank_purchases",
+    "text_domain_kl",
+    # Tier 4 — stale-green rotation (driver row age r3). The r3-stale
+    # queries that do NOT fit this round roll to round 7:
+    # agg_rollup, func_date_family, func_explode_wordcount,
+    # func_split_key_epoch, func_string_family, func_url_normalize,
+    # window_lag_lead, window_ranking, window_running_sum,
+    # mm_decode_resize_stats
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_local_supplier_volume",
@@ -133,9 +129,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_grouping_id",
     "agg_grouping_sets",
     "agg_quantiles",
-    "agg_rollup",
-    "agg_weighted_avg_pandas",
-    "func_date_family",
 )
 
 
