@@ -54,6 +54,14 @@ def write_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """Columnar sink #2: ORC (zlib), the Hive-ecosystem twin of parquet.
+    Same pushdown/pruning contract — predicate pushdown and column
+    pruning reach the ORC reader exactly as they do the parquet one
+    (asserted in tests/test_sources.py)."""
+    df.write.mode("overwrite").option("compression", "zlib").orc(path)
+
+
 _LOG_SCHEMA = "batch_id STRING"
 
 

@@ -165,3 +165,30 @@ def test_events_ts_unit_detection(tmp_path):
             pa.table({"ts": pa.array([t_2024 * mult], pa.int64())}), p
         )
         assert events_ts_unit(str(p)) == unit, f"raw {unit}"
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink/scan: values round-trip exactly, and both predicate
+    pushdown and column pruning reach the ORC reader (the same scan
+    contract the parquet path promises)."""
+    from olap_db_spark.sources.writers import write_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    p = str(tmp_path / "nation_orc")
+    write_orc(src, p)
+    back = spark.read.orc(p)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+    plan = (
+        back.filter(back.n_nationkey > 10)
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,10)]" in plan
+    # column pruning: the scan reads exactly (n_nationkey, n_name)
+    compact = plan.replace(" ", "")
+    assert "n_name:string>" in compact and "struct<n_nationkey:" in compact
+    assert "n_regionkey" not in compact and "n_comment" not in compact
