@@ -57,19 +57,21 @@ def _pagerank_sql(iters: int = _PR_ITERS) -> str:
     """Unrolled integer PageRank CTE chain; final relation rank{iters}
     with columns (node, rank)."""
     parts = [
-        f"edges AS ({_EDGES_SQL})",
-        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
-        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"edges0 AS ({_EDGES_SQL})",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges0)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges0 GROUP BY src)",
+        # degree folded into the edge list ONCE — every iteration's
+        # message round is then a single join (mirrors the Spark side's
+        # checkpointed edges-with-degree table)
+        "edges AS (SELECT e.src, e.dst, d.deg FROM edges0 e JOIN deg d USING (src))",
         f"rank0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes)",
     ]
     for i in range(1, iters + 1):
         parts.append(
             f"""contrib{i} AS (
-  SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS c
+  SELECT e.dst AS node, CAST(SUM(r.rank // e.deg) AS BIGINT) AS c
   FROM edges e
   JOIN rank{i - 1} r ON r.node = e.src
-  JOIN deg d ON d.node = e.src
   GROUP BY e.dst)"""
         )
         parts.append(
@@ -114,26 +116,28 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(
+    edges0 = pairs.select(
         F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
     ).unionAll(
         pairs.select(
             F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
         )
     )
-    # materialize once; 5 iterations rescan this instead of the base join
-    edges = edges.localCheckpoint()
+    deg = edges0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # degree folded in ONCE, then materialized: every iteration's message
+    # round is a single join against this checkpointed (src,dst,deg) table
+    edges = edges0.join(deg, "src").localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
-        F.col("src").alias("node"), "deg"
-    )
     rank = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     for _ in range(_PR_ITERS):
+        # rank is O(V) (node, rank) pairs — broadcast it so the O(E) edge
+        # table is never shuffled; only the map-side-combined per-dst
+        # contributions move. (At V too large to broadcast, drop the hint
+        # and bucket edges by src — the iteration shape is unchanged.)
         contrib = (
             edges.join(
-                rank.withColumnRenamed("node", "src"), "src"
+                F.broadcast(rank.withColumnRenamed("node", "src")), "src"
             )
-            .join(deg.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("rank DIV deg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("c"))
