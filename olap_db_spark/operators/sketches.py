@@ -271,3 +271,75 @@ def bloom_prefilter_count(spark: SparkSession, sf_dir: str) -> tuple[int, int, i
     n_cand = probe.count()
     n_true = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"], "left_semi").count()
     return n_fact, n_cand, n_true
+
+
+# --- sketch-based set INTERSECTION estimate (inclusion-exclusion) -----------
+
+# |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), with every term coming from
+# MERGEABLE HLL states — the audience-overlap / retention-cohort shape
+# ("customers who ordered in both segments") computed without ever
+# shuffling raw keys: per-shard sketches union associatively, then three
+# scalar estimates produce the overlap. Error compounds across the three
+# terms, so the bounded-error flag uses 3·ε of the union size (the
+# dominant term), same TRUE-literal pattern as agg_hll_mergeable.
+
+_HLL_INTERSECT_ORACLE = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'O_and_F' AS pair,
+       (SELECT COUNT(*) FROM a) AS n_a_exact,
+       (SELECT COUNT(*) FROM b) AS n_b_exact,
+       (SELECT COUNT(*) FROM a JOIN b USING (o_custkey)) AS n_both_exact,
+       TRUE AS est_in_bounds
+"""
+
+
+@register(
+    "agg_hll_intersect", oracle=_HLL_INTERSECT_ORACLE, tags=("agg", "sketch")
+)
+def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate set intersection from mergeable HLL sketches
+    (inclusion-exclusion): customers who placed both an 'O'-status and an
+    'F'-status order. The hashed surface is the exact counts plus the
+    bounded-error TRUE flag; the estimate itself is engine-local.
+
+    Scale shape: two filtered sketch aggregations (map-side partial HLL
+    state, no key shuffle), one sketch union for |A ∪ B|, three scalar
+    estimates. The exact n_both for the contract is ONE semi-join of the
+    two distinct key sets — at 100 TB you'd drop that verification column
+    and keep only the sketch math, which never moves raw keys."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O")
+    b = o.filter(F.col("o_orderstatus") == "F")
+    sk = (
+        a.agg(
+            F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk_a"),
+            F.countDistinct("o_custkey").alias("n_a_exact"),
+        )
+        .crossJoin(
+            b.agg(
+                F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk_b"),
+                F.countDistinct("o_custkey").alias("n_b_exact"),
+            )
+        )
+        .crossJoin(
+            a.select("o_custkey")
+            .distinct()
+            .join(b.select("o_custkey").distinct(), "o_custkey", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_both_exact"))
+        )
+    )
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    est_both = est_a + est_b - est_union
+    bound = 3 * 0.05 * est_union
+    return sk.select(
+        F.lit("O_and_F").alias("pair"),
+        "n_a_exact",
+        "n_b_exact",
+        "n_both_exact",
+        (
+            F.abs(est_both - F.col("n_both_exact").cast("double")) <= bound
+        ).alias("est_in_bounds"),
+    )

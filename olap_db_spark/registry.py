@@ -87,9 +87,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_span_exact",
     "graph_pagerank_purchases",
     "text_domain_kl",
+    "agg_hll_intersect",
     # Tier 4 — stale-green rotation (driver row age r3). The r3-stale
     # queries that do NOT fit this round roll to round 7:
-    # agg_rollup, func_date_family, func_explode_wordcount,
+    # agg_quantiles, agg_rollup, func_date_family, func_explode_wordcount,
     # func_split_key_epoch, func_string_family, func_url_normalize,
     # window_lag_lead, window_ranking, window_running_sum,
     # mm_decode_resize_stats
@@ -128,7 +129,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_cube",
     "agg_grouping_id",
     "agg_grouping_sets",
-    "agg_quantiles",
 )
 
 
