@@ -77,3 +77,46 @@ def curate_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFrame:
         .dropDuplicatesWithinWatermark(["fp"])
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+_SPAN_LEN, _SPAN_STRIDE = 32, 16  # mirrors operators/fuzzy_dedup.dedup_span_exact
+
+
+def span_dedup_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of span-level exact dedup
+    (operators/fuzzy_dedup.dedup_span_exact): as documents arrive, every
+    32-token window (stride 16) is fingerprinted and the stream keeps only
+    the FIRST arrival of each span — the continuous boilerplate-suppression
+    form of substring dedup (all later repeats of a paragraph are dropped
+    at ingest, before they ever reach training storage).
+
+    State is watermark-bounded: one watermark-interval of 16-byte span
+    fingerprints, not the unbounded history an un-watermarked
+    ``dropDuplicates`` would accumulate at 100 TB/day. The span explode is
+    stateless map-side fan-out (≈2 fingerprints per 32 tokens), identical
+    to the batch operator's scale shape."""
+    t = docs.select(
+        "doc_id",
+        "ingest_ts",
+        F.split(F.trim(F.col("text")), " ").alias("ws"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n"),
+    ).filter(F.col("n") >= _SPAN_LEN)
+    spans = t.select(
+        "doc_id",
+        "ingest_ts",
+        F.explode(
+            F.expr(f"sequence(0, n - {_SPAN_LEN}, {_SPAN_STRIDE})")
+        ).alias("p"),
+        "ws",
+    ).select(
+        "doc_id",
+        "ingest_ts",
+        F.md5(
+            F.array_join(F.expr(f"slice(ws, p + 1, {_SPAN_LEN})"), " ")
+        ).alias("fp"),
+    )
+    return (
+        spans.withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("fp", "doc_id")
+    )

@@ -80,3 +80,38 @@ def test_streaming_curation_dedups_replays(spark, tmp_path):
     assert len(ids) == len(set(ids)), "duplicates survived the watermark dedup"
     want_n = _batch_kept(spark).count()
     assert len(set(ids)) == want_n
+
+
+def test_span_dedup_stream_equals_batch_first_arrival(spark, docs_stream_dir):
+    """Streaming span dedup == batch ground truth: one row per distinct
+    span fingerprint, attributed to its first-arriving document (the file
+    stream replays in doc_id-synthesized ingest order, so first arrival ==
+    min doc_id)."""
+    from olap_db_spark.streaming.curation import span_dedup_stream
+
+    stream = span_dedup_stream(stream_documents(spark, docs_stream_dir))
+    got = {
+        (r["fp"], r["doc_id"])
+        for r in run_available_now(stream, "span_dedup_stream_test", "append")
+    }
+
+    d = load(spark, SF, "documents")
+    t = d.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), " ").alias("ws"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n"),
+    ).filter(F.col("n") >= 32)
+    spans = t.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, n - 32, 16)")).alias("p"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.expr("slice(ws, p + 1, 32)"), " ")).alias("fp"),
+    )
+    want = {
+        (r["fp"], r["doc_id"])
+        for r in spans.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+    assert got == want
+    assert len(got) > 0
