@@ -65,70 +65,70 @@ _LOADED = False
 # order); everything else follows in registration order.
 #
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-6 WINDOW (first 50 reach the driver).
-    # Tier 1 — repaired driver reds/errs (r5): the four HUGEINT-oracle
-    # hash-reds (uncast integer SUMs, see tests/test_oracle_types.py)
-    # and the two no_oracle errs, now integer-quantized + oracled.
-    "pipeline_corpus_curation",
-    "text_bigram_lm_nll",
-    "q11_important_stock",
-    "q12_priority_lateness",
-    "text_bm25_topk",
-    "text_bigram_nll_topk",
-    # Tier 2 — green r4/r5 but code changed this round (SemDeDup auto-k +
-    # block cap; repetition-stats 2-token guard; kmeans module refactor;
-    # wavg FLOOR(l_quantity) symmetry fix)
-    "dedup_semantic",
-    "text_repetition_stats",
-    "sim_ivf_kmeans",
-    "agg_weighted_avg_pandas",
-    # Tier 3 — NEW in round 6, never driver-checked
-    "text_hybrid_rrf",
-    "dedup_span_exact",
-    "graph_pagerank_purchases",
-    "text_domain_kl",
-    "agg_hll_intersect",
-    # Tier 4 — stale-green rotation (driver row age r3). The r3-stale
-    # queries that do NOT fit this round roll to round 7:
-    # agg_quantiles, agg_rollup, func_date_family, func_explode_wordcount,
-    # func_split_key_epoch, func_string_family, func_url_normalize,
-    # window_lag_lead, window_ranking, window_running_sum,
-    # mm_decode_resize_stats
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_local_supplier_volume",
-    "q4_priority_exists",
-    "q17_small_qty_revenue",
-    "join_inner_chain",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_nonequi_band",
-    "agg_count_distinct",
-    "agg_collect_set",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect_all",
-    "dedup_distinct",
-    "dedup_keep_first",
-    "page_sort_limit",
-    "page_limit_offset",
-    "page_keyset",
-    "page_topk_per_group",
-    "page_filtered_sorted",
-    "func_conditional",
-    "func_array_ops",
-    "meta_show_databases",
-    "meta_show_create_table",
-    "agg_cube",
-    "agg_grouping_id",
-    "agg_grouping_sets",
+    # ROUND-7 WINDOW (first 50 reach the driver) — stale-row rotation.
+    # Round 6 went 50/50 green, so this window is the r6 VERDICT's #1 ask:
+    # re-check the 56 rows whose latest driver green predates round 5 (and
+    # therefore predates the HUGEINT-cast fix + the driver's arrow-fetch
+    # change — the exact class that silently flapped in r4/r5).
+    #
+    # Tier 1 — the 11 rows whose latest green is round 3.
+    "agg_quantiles",
+    "agg_rollup",
+    "window_ranking",
+    "window_running_sum",
+    "window_lag_lead",
+    "func_url_normalize",
+    "func_split_key_epoch",
+    "func_explode_wordcount",
+    "func_string_family",
+    "func_date_family",
+    "mm_decode_resize_stats",
+    # Tier 2 — 39 of the 45 rows whose latest green is round 4. The six
+    # deferred to round 8 (meta_show_tables, mm_real_decode_stats,
+    # mm_video_frame_sample, mm_audio_rms_windows, func_bitwise_family,
+    # func_date_arith) are the ones least exposed to the HUGEINT class —
+    # metadata / deterministic-synth multimodal / pure scalar shapes with
+    # no integer SUM in the oracle — and all pass the local arrow-fetch
+    # parity run (tools/drive_contract.py).
+    "agg_approx_count_distinct",
+    "agg_argmax_family",
+    "agg_histogram",
+    "agg_hll_mergeable",
+    "agg_ohlc_hourly",
+    "agg_percentile_approx",
+    "agg_pivot",
+    "agg_string_agg",
+    "agg_topk_per_key",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_keep_latest",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "func_json_extract",
+    "func_regexp_family",
+    "fuzzy_levenshtein_match",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q19_brand_band_revenue",
+    "scale_interval_bucket_join",
+    "sim_ann_lsh",
+    "sim_ivf_search",
+    "sim_knn_bruteforce",
+    "sim_pq_search",
+    "text_contamination_check",
+    "text_pack_sequences",
+    "text_tfidf_topterms",
+    "ts_asof_prior_click",
+    "ts_cohort_retention",
+    "ts_daily_rollup",
+    "ts_funnel",
+    "ts_gap_fill",
+    "ts_session_window",
+    "ts_sliding_window",
+    "ts_tumbling_window",
+    "window_distribution",
+    "window_range_frame",
 )
 
 

@@ -33,26 +33,53 @@ def test_priority_has_no_duplicates():
     assert len(pri) == len(set(pri))
 
 
+def _latest_green() -> dict[str, int]:
+    """Latest round each query earned a fully-green driver row."""
+    latest: dict[str, int] = {}
+    for rnd in (1, 2, 3, 4, 5, 6):
+        for name, rec in _correctness(rnd).items():
+            ok = (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match") is not False
+                and not rec.get("err")
+            )
+            if ok:
+                latest[name] = rnd
+    return latest
+
+
 def test_driver_window_contents():
     """The first 50 queries() entries (the driver's correctness window)
-    must contain every round-6 target: every round-5 red/err query
-    (the repaired HUGEINT-oracle hash-reds + the no_oracle errs) and
-    every query never driver-checked (the round-6 additions)."""
+    must contain every round-7 target: every red/err query from round 6
+    (none expected), every query never driver-checked (new this round),
+    and — the r6 VERDICT's #1 ask — the stalest green rows first: all 11
+    r3-stale rows plus r4-stale rows filling the remaining slots."""
     names = list(registry.all_queries())
     window = set(names[:50])
 
-    rounds = [_correctness(i) for i in (1, 2, 3, 4, 5)]
-    never_checked = {n for n in names if not any(n in r for r in rounds)}
-
-    r5_bad = {
+    latest = _latest_green()
+    never_checked = {n for n in names if n not in latest}
+    r6 = _correctness(6)
+    r6_bad = {
         n
-        for n, rec in rounds[4].items()
+        for n, rec in r6.items()
         if not (rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"))
     }
+    r3_stale = {n for n, rnd in latest.items() if rnd <= 3}
 
-    must_have = r5_bad | never_checked
+    must_have = r6_bad | never_checked | r3_stale
     missing = must_have - window
     assert not missing, f"driver window is missing: {sorted(missing)}"
+
+    # every remaining slot goes to stale rotation: nothing already green
+    # at r5+ may occupy a window slot while r4-stale rows wait
+    fresh_in_window = {n for n in window if latest.get(n, 0) >= 5}
+    stale_outside = {n for n, rnd in latest.items() if rnd <= 4} - window
+    assert not (fresh_in_window and stale_outside), (
+        f"window wastes slots on fresh rows {sorted(fresh_in_window)} while "
+        f"stale rows wait: {sorted(stale_outside)}"
+    )
 
 
 def test_every_query_has_fn_and_oracle():
