@@ -40,6 +40,16 @@ _PR_ITERS = 5
 _PR_SCALE = 1_000_000_000  # fixed-point: initial total mass = N × 1e9 / N
 _PR_TOPK = 25
 
+# Broadcast the O(V) rank table only while it is actually small. Each rank
+# row is a (long, long) pair — ~16 B of data, ~50 B serialized with row
+# overhead — so 20M nodes ≈ 1 GB broadcast, already past comfortable
+# executor/driver budgets and a quarter of Spark's 8 GB hard cap. Above the
+# threshold the hint is DROPPED and the iteration falls back to shuffle
+# joins against the src-partitioned edge table (the standard vertex-centric
+# shape): edges are repartitioned by src ONCE before the checkpoint, so
+# every iteration only shuffles the O(V) rank side, never the O(E) edges.
+_PR_BROADCAST_MAX_NODES = 2_000_000
+
 # Bipartite purchase graph: an undirected edge per DISTINCT
 # (customer, supplier) pair that shares at least one order line, expressed
 # as two directed edges. Node ids: customers as 2·c_custkey, suppliers as
@@ -96,16 +106,11 @@ LIMIT {_PR_TOPK}
 """
 
 
-@register("graph_pagerank_purchases", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative"))
-def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-25 PageRank nodes of the customer–supplier purchase graph —
-    'which suppliers sit at the center of the purchasing network', the
-    influence-ranking shape behind seller/fraud analytics.
-
-    Integer fixed-point damping (floor ops only, see module docstring)
-    makes all 5 iterations bit-exact in both engines; the edge list is
-    localCheckpoint'd once so the 5 join+agg rounds rescan a
-    materialized table instead of re-deriving the distinct pairs."""
+def _pagerank_df(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_max_nodes: int = _PR_BROADCAST_MAX_NODES,
+) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -128,15 +133,21 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round is a single join against this checkpointed (src,dst,deg) table
     edges = edges0.join(deg, "src").localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
+    # One cheap count over the checkpointed table decides the join strategy
+    # for every iteration (same gate pattern as kmeans auto-k): broadcast
+    # the O(V) rank table while it fits, else shuffle-join it against the
+    # src-partitioned edges so the O(E) side still never moves.
+    n_nodes = nodes.count()
+    if n_nodes <= broadcast_max_nodes:
+        rank_side = F.broadcast
+    else:
+        rank_side = lambda df: df  # noqa: E731 — AQE plans the shuffle join
+        edges = edges.repartition("src").localCheckpoint()
     rank = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     for _ in range(_PR_ITERS):
-        # rank is O(V) (node, rank) pairs — broadcast it so the O(E) edge
-        # table is never shuffled; only the map-side-combined per-dst
-        # contributions move. (At V too large to broadcast, drop the hint
-        # and bucket edges by src — the iteration shape is unchanged.)
         contrib = (
             edges.join(
-                F.broadcast(rank.withColumnRenamed("node", "src")), "src"
+                rank_side(rank.withColumnRenamed("node", "src")), "src"
             )
             .select("dst", F.expr("rank DIV deg").alias("share"))
             .groupBy("dst")
@@ -164,3 +175,19 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(_PR_TOPK)
     )
+
+
+@register("graph_pagerank_purchases", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative"))
+def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 PageRank nodes of the customer–supplier purchase graph —
+    'which suppliers sit at the center of the purchasing network', the
+    influence-ranking shape behind seller/fraud analytics.
+
+    Integer fixed-point damping (floor ops only, see module docstring)
+    makes all 5 iterations bit-exact in both engines; the edge list is
+    localCheckpoint'd once so the 5 join+agg rounds rescan a materialized
+    table instead of re-deriving the distinct pairs. The rank broadcast is
+    gated on a node-count threshold (``_PR_BROADCAST_MAX_NODES``) with a
+    shuffle-join fallback over src-partitioned edges — both branches are
+    oracle-identical (tests/test_graph_kl.py)."""
+    return _pagerank_df(spark, sf_dir)

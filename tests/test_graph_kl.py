@@ -43,6 +43,32 @@ def test_pagerank_favors_high_degree_suppliers(spark):
     assert rows[0].rank > (15 * _PR_SCALE) // 100
 
 
+def test_pagerank_broadcast_gate_branches(spark):
+    """The rank broadcast hint is gated on node count (r6 VERDICT item 5):
+    below the threshold the rank side carries an explicit broadcast hint;
+    above it the hint is DROPPED (shuffle join over src-partitioned edges).
+    Both branches must return identical rows. autoBroadcastJoinThreshold is
+    pinned to -1 so the initial plans show the strategy the HINT (not the
+    tiny test data) selects."""
+    from olap_db_spark.operators.graph import _pagerank_df
+    from olap_db_spark.plans.audit import plan_string
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bc = _pagerank_df(spark, SF)
+        fb = _pagerank_df(spark, SF, broadcast_max_nodes=0)
+        # hinted branch: rank join compiles to a broadcast hash join even
+        # with the auto threshold off
+        assert "BroadcastHashJoin" in plan_string(bc)
+        # gated branch: no broadcast join anywhere above the checkpointed
+        # edges — the rank side shuffles instead
+        assert "BroadcastHashJoin" not in plan_string(fb)
+        assert bc.collect() == fb.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_domain_kl_nonnegative_and_complete(spark):
     """KL divergence is ≥ 0; the nano-quantized sum can undershoot only
     by the per-term floor loss (< 1 nano-unit per term). Every source in
