@@ -158,7 +158,10 @@ def kmeans_fit_assign(
     max(_K, ceil(N / _TARGET_BLOCK)) — so E[cluster size] stays constant
     at any N (the SemDeDup contract; mirror with
     ``sql_kmeans_assign(auto_k=True)``). The count() it costs is one
-    column-pruned parquet scan.
+    column-pruned parquet scan; the model state that auto-k grows is
+    k×dim int64s on the driver (broadcast into each assignment batch) —
+    ~0.5 KB per cluster at dim=64, ~100 MB at the 1e8-vector design point,
+    which is the inherent coordinator cost of Lloyd, not a data motion.
 
     ``vecs`` overrides the corpus: any (vec_id, qv: array<bigint>) frame —
     mirror its SQL via ``sql_kmeans_assign(vecs_sql=...)`` to keep the
@@ -170,19 +173,22 @@ def kmeans_fit_assign(
     if k == "auto":
         n_vecs = vecs.count()
         k = max(_K, -(-n_vecs // _TARGET_BLOCK))  # ceil division
-    seed_ids = vecs.select(
-        "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
-    )
-    seeds = [
-        r["vec_id"]
-        for r in seed_ids.orderBy("h").limit(k).collect()
-    ]
-    centroids = [
-        r["qv"]
-        for r in vecs.filter(F.col("vec_id").isin(seeds))
-        .orderBy("vec_id")
+    # Seed selection is ONE distributed top-k (TakeOrderedAndProject) that
+    # carries qv along — never a second scan filtered by a k-literal
+    # isin() predicate, which at auto-k scale (k ≈ N/512 → ~200k literals
+    # for 1e8 vectors) would blow the plan (round-6 ADVICE). Only the k
+    # winning (vec_id, qv) rows reach the driver; note the driver/UDF
+    # state this implies is k×dim int64s (~100 MB at k=200k, dim=64) —
+    # the inherent model-state cost of Lloyd on a single coordinator.
+    seed_rows = (
+        vecs.select(
+            "vec_id", "qv", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h")
+        .limit(k)
         .collect()
-    ]
+    )
+    centroids = [r["qv"] for r in sorted(seed_rows, key=lambda r: r["vec_id"])]
 
     vecs = vecs.localCheckpoint()  # cut lineage once; scanned every iter
     assigned = None
