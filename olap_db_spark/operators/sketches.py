@@ -283,6 +283,19 @@ def bloom_prefilter_count(spark: SparkSession, sf_dir: str) -> tuple[int, int, i
 # terms, so the bounded-error flag uses 3·ε of the union size (the
 # dominant term), same TRUE-literal pattern as agg_hll_mergeable.
 
+# HLL precision for the intersect sketches, and the acceptance bound
+# DERIVED from it (round-6 ADVICE: the bound and the precision must not be
+# independently editable constants). Relative standard error of HLL is
+# σ = 1.04/√(2^lgK) ≈ 0.81% at lgK=14; inclusion–exclusion compounds three
+# estimates whose dominant scale is |A ∪ B|, so the flag accepts
+# |est − exact| ≤ 3 terms × 6σ × |A ∪ B|ₑₛₜ (≈ 0.146·union — a 6-sigma
+# safety factor per term keeps the TRUE-literal oracle deterministic on
+# any regenerated data while still rejecting a broken estimator).
+_HLL_LG_K = 14
+_HLL_RSE = 1.04 / (2.0**_HLL_LG_K) ** 0.5
+_HLL_SIGMA_SAFETY = 6.0
+_HLL_INTERSECT_REL_BOUND = 3.0 * _HLL_SIGMA_SAFETY * _HLL_RSE
+
 _HLL_INTERSECT_ORACLE = """
 WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
 b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
@@ -313,12 +326,12 @@ def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = o.filter(F.col("o_orderstatus") == "F")
     sk = (
         a.agg(
-            F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk_a"),
+            F.hll_sketch_agg("o_custkey", F.lit(_HLL_LG_K)).alias("sk_a"),
             F.countDistinct("o_custkey").alias("n_a_exact"),
         )
         .crossJoin(
             b.agg(
-                F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk_b"),
+                F.hll_sketch_agg("o_custkey", F.lit(_HLL_LG_K)).alias("sk_b"),
                 F.countDistinct("o_custkey").alias("n_b_exact"),
             )
         )
@@ -333,7 +346,7 @@ def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_b = F.hll_sketch_estimate("sk_b")
     est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
     est_both = est_a + est_b - est_union
-    bound = 3 * 0.05 * est_union
+    bound = _HLL_INTERSECT_REL_BOUND * est_union
     return sk.select(
         F.lit("O_and_F").alias("pair"),
         "n_a_exact",
