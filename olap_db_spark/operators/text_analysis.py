@@ -960,53 +960,56 @@ def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything hashed is then exact BIGINT.
 _KL_SCALE = 1_000_000_000
 
-_DOMAIN_KL_ORACLE = f"""
-WITH tok AS (
+# Shared CTE chain + raw (pre-FLOOR) term: interpolated into BOTH the
+# oracle and the boundary guard so they cannot drift apart (round-6
+# ADVICE; guard rationale in relevance.BM25_BOUNDARY_GUARD_SQL).
+_KL_CTES = f"""tok AS (
   SELECT source, unnest({_WS}) AS w FROM documents
 ),
 sc AS (SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY source, w),
 st AS (SELECT source, COUNT(*) AS n_s FROM tok GROUP BY source),
 cc AS (SELECT w, COUNT(*) AS c_cw FROM tok GROUP BY w),
 ct AS (SELECT COUNT(*) AS n_c FROM tok),
-contrib AS (
+raw_terms AS (
   SELECT sc.source,
-         CAST(FLOOR({_KL_SCALE}.0 * ((sc.c_sw * 1.0 / st.n_s)
-             * LN((sc.c_sw * 1.0 / st.n_s) / (cc.c_cw * 1.0 / ct.n_c))))
-           AS BIGINT) AS t
+         {_KL_SCALE}.0 * ((sc.c_sw * 1.0 / st.n_s)
+             * LN((sc.c_sw * 1.0 / st.n_s) / (cc.c_cw * 1.0 / ct.n_c))) AS r
   FROM sc
   JOIN st USING (source)
   JOIN cc USING (w)
   CROSS JOIN ct
-)
+)"""
+
+_DOMAIN_KL_ORACLE = f"""
+WITH {_KL_CTES}
 SELECT source,
        COUNT(*) AS n_terms,
-       CAST(SUM(t) AS BIGINT) AS kl_nano
-FROM contrib
+       CAST(SUM(CAST(FLOOR(r) AS BIGINT)) AS BIGINT) AS kl_nano
+FROM raw_terms
 GROUP BY source
 ORDER BY source
 """
 
+KL_BOUNDARY_GUARD_SQL = f"""
+WITH {_KL_CTES}
+SELECT source, r FROM raw_terms
+WHERE ABS(r - ROUND(r)) < GREATEST(8.8e-16 * ABS(r), 1e-10) AND r <> ROUND(r)
+"""
 
-@register("text_domain_kl", oracle=_DOMAIN_KL_ORACLE, tags=("text", "llm"))
-def text_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KL(P_source ‖ P_corpus) per document source over unigram token
-    distributions, nano-quantized into exact BIGINTs (see the oracle's
-    determinism note) — the domain-drift monitor of a curation pipeline.
 
-    Plan: two hash aggregates over the token stream ((source, w) and (w)
-    — both map-side combined), the vocabulary-sized corpus counts joined
-    back onto the per-source counts (broadcast here; at 100M+-term
-    vocabularies drop the hint and AQE shuffles on w — shape unchanged),
-    per-source totals and the 1-row corpus total broadcast, then one
-    final tiny aggregate. Nothing global ever exceeds O(vocabulary)."""
-    d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
-    )
-    sc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
-    st = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    cc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_cw"))
-    ct = tok.agg(F.count(F.lit(1)).alias("n_c"))
+def domain_kl_from_counts(sc: DataFrame) -> DataFrame:
+    """Evaluate per-source KL(P_source ‖ P_corpus) from the (source, w,
+    c_sw) token-count state — the marginals (per-source totals, corpus
+    counts, corpus total) are exact integer sums OF that state, so batch
+    and streaming twins that maintain the same counts evaluate to the
+    same nano-quantized BIGINTs by construction.
+
+    Shared by ``text_domain_kl`` (batch) and
+    ``streaming/curation.domain_kl_from_count_state`` (the per-trigger
+    drift monitor)."""
+    st = sc.groupBy("source").agg(F.sum("c_sw").cast("long").alias("n_s"))
+    cc = sc.groupBy("w").agg(F.sum("c_sw").cast("long").alias("c_cw"))
+    ct = sc.agg(F.sum("c_sw").cast("long").alias("n_c"))
     p = (F.col("c_sw") * 1.0) / F.col("n_s")
     q = (F.col("c_cw") * 1.0) / F.col("n_c")
     contrib = (
@@ -1028,3 +1031,24 @@ def text_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("text_domain_kl", oracle=_DOMAIN_KL_ORACLE, tags=("text", "llm"))
+def text_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_source ‖ P_corpus) per document source over unigram token
+    distributions, nano-quantized into exact BIGINTs (see the oracle's
+    determinism note) — the domain-drift monitor of a curation pipeline.
+
+    Plan: ONE map-side-combined hash aggregate over the token stream to
+    the O(sources·vocab) count state, whose integer marginals feed the
+    evaluator (``domain_kl_from_counts``): corpus counts joined back onto
+    the per-source counts (un-hinted — AQE decides; at 100M+-term
+    vocabularies it shuffles on w, shape unchanged), per-source totals
+    and the 1-row corpus total broadcast, then one final tiny aggregate.
+    Nothing global ever exceeds O(vocabulary)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+    sc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    return domain_kl_from_counts(sc)

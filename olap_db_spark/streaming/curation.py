@@ -120,3 +120,33 @@ def span_dedup_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFra
         .dropDuplicatesWithinWatermark(["fp"])
         .select("fp", "doc_id")
     )
+
+
+# --- continuous domain-drift (KL) monitoring ---------------------------------
+
+
+def domain_token_counts_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of text_domain_kl's count state: the continuously
+    maintained (source, w) token counts — a streaming aggregation whose
+    micro-batch partials merge associatively (outputMode 'complete' emits
+    the whole state each trigger, exactly like the CMS twin).
+
+    State is O(sources · vocabulary) regardless of stream volume — the
+    same bound the batch operator's shuffle carries; drift is then
+    evaluated per trigger by ``domain_kl_from_count_state`` (the SHARED
+    batch evaluator), which is how a curation pipeline watches a crawl
+    slice go off-distribution WHILE ingesting, not after."""
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+    return tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+
+
+def domain_kl_from_count_state(counts: DataFrame) -> DataFrame:
+    """Per-trigger KL evaluation over the streamed count state — LITERALLY
+    the batch evaluator (operators/text_analysis.domain_kl_from_counts),
+    so stream==batch holds by construction once the states match
+    (asserted in tests/test_streaming_curation.py)."""
+    from ..operators.text_analysis import domain_kl_from_counts
+
+    return domain_kl_from_counts(counts)

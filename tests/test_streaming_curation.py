@@ -84,9 +84,11 @@ def test_streaming_curation_dedups_replays(spark, tmp_path):
 
 def test_span_dedup_stream_equals_batch_first_arrival(spark, docs_stream_dir):
     """Streaming span dedup == batch ground truth: one row per distinct
-    span fingerprint, attributed to its first-arriving document (the file
-    stream replays in doc_id-synthesized ingest order, so first arrival ==
-    min doc_id)."""
+    span fingerprint, attributed to ONE of the documents containing that
+    span. Within a single micro-batch ``dropDuplicatesWithinWatermark``
+    keeps a processing-order-dependent row — not necessarily the min
+    doc_id — so the exact winner is NOT asserted (round-6 ADVICE): the
+    contract is the fingerprint SET plus winner-membership."""
     from olap_db_spark.streaming.curation import span_dedup_stream
 
     stream = span_dedup_stream(stream_documents(spark, docs_stream_dir))
@@ -109,9 +111,49 @@ def test_span_dedup_stream_equals_batch_first_arrival(spark, docs_stream_dir):
         "doc_id",
         F.md5(F.array_join(F.expr("slice(ws, p + 1, 32)"), " ")).alias("fp"),
     )
-    want = {
-        (r["fp"], r["doc_id"])
-        for r in spans.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).collect()
+    # exactly one survivor per distinct fingerprint
+    assert len(got) == len({fp for fp, _ in got})
+    want_fps = {r["fp"] for r in spans.select("fp").distinct().collect()}
+    assert {fp for fp, _ in got} == want_fps
+    # the kept doc must actually contain the span it won
+    members = {
+        (r["fp"], r["doc_id"]) for r in spans.select("fp", "doc_id").collect()
     }
+    assert got <= members
+    assert len(got) > 0
+
+
+def test_domain_kl_stream_equals_batch(spark, tmp_path):
+    """Continuous drift monitoring: replay the documents corpus as TWO
+    stream files (forcing cross-micro-batch state merge), evaluate KL over
+    the final streamed count state with the SHARED batch evaluator, and
+    assert bit-equality with the batch text_domain_kl output."""
+    import pyarrow.parquet as pq
+
+    from olap_db_spark.registry import query_fns
+    from olap_db_spark.streaming.curation import (
+        domain_kl_from_count_state,
+        domain_token_counts_stream,
+        stream_documents,
+    )
+
+    # split the corpus into two files so at least two input splits exist
+    src = pq.read_table(f"{SF}/documents.parquet")
+    d = tmp_path / "kl_stream"
+    d.mkdir()
+    half = src.num_rows // 2
+    pq.write_table(src.slice(0, half), d / "a.parquet")
+    pq.write_table(src.slice(half), d / "b.parquet")
+
+    state_rows = run_available_now(
+        domain_token_counts_stream(stream_documents(spark, str(d))),
+        "t_domain_kl_state",
+        "complete",
+    )
+    state = spark.createDataFrame(state_rows)
+    got = [tuple(r) for r in domain_kl_from_count_state(state).collect()]
+    want = [
+        tuple(r) for r in query_fns()["text_domain_kl"](spark, SF).collect()
+    ]
     assert got == want
     assert len(got) > 0
