@@ -32,6 +32,9 @@ from pyspark.sql.window import Window
 from ..catalog import load
 from ..registry import register
 from ._vector import sql_cosine, sql_dot, sql_quantize
+from .kmeans import _DIM as _KM_DIM
+from .kmeans import _ITERS as _KM_ITERS
+from .kmeans import sql_kmeans_assign
 
 # Tokens: lowercase, split on whitespace runs, drop empties — identical in
 # both dialects.
@@ -198,8 +201,16 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sides: Spark's round() on DOUBLE rounds the shortest decimal repr while
 # DuckDB rounds the binary value, a real midpoint divergence; floor has no
 # midpoint. Ranking then runs entirely on exact BIGINTs.
-_BM25_TOPK_ORACLE = f"""
-WITH tokens AS ({_TOKENS_SQL}),
+# The RAW (pre-FLOOR) term expression and the CTE chain feeding it are
+# single constants interpolated into BOTH the oracle and the boundary
+# guard below, so the two can never drift apart (round-6 ADVICE).
+_BM25_RAW_TERM = """1000.0 * (
+           LN((n.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+           * (qtf.tf * 2.2)
+           / (qtf.tf + 1.2 * (0.25 + 0.75 * ((dl.dl * corpus.dl_n) / corpus.dl_sum)))
+         )"""
+
+_BM25_CTES = f"""tokens AS ({_TOKENS_SQL}),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id),
 corpus AS (SELECT CAST(SUM(dl) AS BIGINT) AS dl_sum,
                   COUNT(*) AS dl_n FROM dl),
@@ -207,23 +218,37 @@ qtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens
         WHERE term IN {_QUERY_TERMS!r} GROUP BY doc_id, term),
 qdf AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
-contrib AS (
-  SELECT qtf.doc_id,
-         CAST(FLOOR(1000.0 * (
-           LN((n.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
-           * (qtf.tf * 2.2)
-           / (qtf.tf + 1.2 * (0.25 + 0.75 * ((dl.dl * corpus.dl_n) / corpus.dl_sum)))
-         )) AS BIGINT) AS contrib_milli
+raw_terms AS (
+  SELECT qtf.doc_id, {_BM25_RAW_TERM} AS r
   FROM qtf
   JOIN qdf USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN n CROSS JOIN corpus
-)
-SELECT doc_id, CAST(SUM(contrib_milli) AS BIGINT) AS score_milli
-FROM contrib
+)"""
+
+_BM25_TOPK_ORACLE = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, CAST(SUM(CAST(FLOOR(r) AS BIGINT)) AS BIGINT) AS score_milli
+FROM raw_terms
 GROUP BY doc_id
 ORDER BY score_milli DESC, doc_id ASC
 LIMIT 10
+"""
+
+# Boundary guard (round-6 ADVICE): a floor-quantized transcendental term
+# whose TRUE value sits within libm-drift distance of an integer can flip
+# the floor across engines. This guard selects any raw term within ~4 ulp
+# (relative, with a 1e-10 absolute floor) of an integer boundary — run by
+# the parity fuzzer so a boundary-straddling datum fails loudly in CI
+# instead of at the driver. Terms EXACTLY on an integer (e.g. ln(1)=0,
+# which every libm computes exactly) are excluded: both engines floor the
+# identical binary double.
+_GUARD_BAND = "GREATEST(8.8e-16 * ABS(r), 1e-10)"
+_GUARD_PRED = f"ABS(r - ROUND(r)) < {_GUARD_BAND} AND r <> ROUND(r)"
+
+BM25_BOUNDARY_GUARD_SQL = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, r FROM raw_terms WHERE {_GUARD_PRED}
 """
 
 
@@ -371,8 +396,10 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no midpoint semantics to diverge. The summed surface and the ranking
 # key sum/n (one exact-int double division, correctly rounded hence
 # bit-identical) are then fully hash-portable.
-_BIGRAM_NLL_TOPK_ORACLE = """
-WITH toks AS (
+# Shared CTE chain + raw (pre-FLOOR) term: interpolated into BOTH the
+# oracle and the boundary guard so they cannot drift apart (round-6
+# ADVICE; see BM25_BOUNDARY_GUARD_SQL above for the guard rationale).
+_BIGRAM_CTES = """toks AS (
   SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
 ),
 uni AS (SELECT COUNT(DISTINCT term) AS v
@@ -385,18 +412,26 @@ big AS (
 ),
 c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
 c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
-lp AS (
+raw_terms AS (
   SELECT big.doc_id,
-         CAST(FLOOR(1000000.0 * LN((c2.c2 + 1.0) / (c1.c1 + uni.v))) AS BIGINT) AS lp_micro
+         1000000.0 * LN((c2.c2 + 1.0) / (c1.c1 + uni.v)) AS r
   FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN uni
-)
+)"""
+
+_BIGRAM_NLL_TOPK_ORACLE = f"""
+WITH {_BIGRAM_CTES}
 SELECT doc_id,
        COUNT(*) AS n_bigrams,
-       CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro
-FROM lp
+       CAST(SUM(CAST(FLOOR(r) AS BIGINT)) AS BIGINT) AS sum_lp_micro
+FROM raw_terms
 GROUP BY doc_id
 ORDER BY CAST(sum_lp_micro AS DOUBLE) / n_bigrams ASC, doc_id ASC
 LIMIT 20
+"""
+
+BIGRAM_BOUNDARY_GUARD_SQL = f"""
+WITH {_BIGRAM_CTES}
+SELECT doc_id, r FROM raw_terms WHERE {_GUARD_PRED}
 """
 
 
@@ -510,25 +545,14 @@ LIMIT 10
 """
 
 
-@register("text_hybrid_rrf", oracle=_HYBRID_RRF_ORACLE, tags=("text", "llm"))
-def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid search — the RAG-stack retrieval primitive: fuse the BM25
-    lexical top-50 (query {spark, data, window}) with the embedding-cosine
-    semantic top-50 (query-by-example: vec_id 0's embedding) by reciprocal
-    rank fusion, 1/(60+rank) per list.
+def _bm25_lex_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lexical candidate list shared by both hybrid-retrieval
+    variants: milli-quantized BM25 (identical arithmetic to
+    ``text_bm25_topk``) → (doc_id, r_lex), r_lex ≤ _RRF_DEPTH.
 
-    The fused score is an exact rational of the two integer ranks, emitted
-    as (rrf_num, rrf_den) and ranked by one correctly-rounded division —
-    the same no-float-drift contract as the rest of the relevance family.
-
-    Scale shape: each list is a TakeOrderedAndProject over its scoring
-    pipeline (BM25: semi-filtered postings join; semantic: map-only
-    broadcast-query cosine — at web scale the brute-force side swaps for
-    the IVF route in similarity.py, same 50-row list out). The fusion
-    itself joins two ≤50-row frames — broadcast, trivially."""
-    from ._vector import dot_q, cosine_q, norm2_q, quantize
-
-    # lexical list: milli-quantized BM25 (identical to text_bm25_topk)
+    TakeOrderedAndProject first (top-50 with partial per-partition heaps,
+    no global sort), THEN rank the surviving 50-row frame — the global
+    row_number window only ever sees _RRF_DEPTH rows."""
     post = _bm25_postings(spark, sf_dir)
     avgdl_inv = (F.col("dl") * F.col("dl_n")) / F.col("dl_sum")
     contrib = (
@@ -546,47 +570,20 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("contrib_milli").alias("score_milli"))
     )
-    # TakeOrderedAndProject first (top-50 with partial per-partition
-    # heaps, no global sort), THEN rank the surviving 50-row frame — the
-    # global row_number window only ever sees _RRF_DEPTH rows.
     w_lex = Window.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
-    lex = (
+    return (
         lexscore.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
         .limit(_RRF_DEPTH)
         .withColumn("r_lex", F.row_number().over(w_lex))
         .select("doc_id", "r_lex")
     )
 
-    # semantic list: fixed-point cosine against the broadcast query vector
-    nv = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", quantize(F.col("embedding")).alias("qv"))
-        .withColumn("n2", norm2_q(F.col("qv")))
-    )
-    qvec = nv.filter(F.col("vec_id") == _RRF_QUERY_ID).select(
-        F.col("qv").alias("qv_q"), F.col("n2").alias("n2_q")
-    )
-    semscore = (
-        nv.filter((F.col("vec_id") != _RRF_QUERY_ID) & (F.col("n2") > 0))
-        .crossJoin(F.broadcast(qvec))
-        .filter(F.col("n2_q") > 0)
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            cosine_q(
-                dot_q(F.col("qv"), F.col("qv_q")), F.col("n2"), F.col("n2_q")
-            ).alias("cos"),
-        )
-    )
-    w_sem = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
-    sem = (
-        semscore.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
-        .limit(_RRF_DEPTH)
-        .withColumn("r_sem", F.row_number().over(w_sem))
-        .select(F.col("doc_id").alias("sem_doc_id"), "r_sem")
-    )
 
+def _rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of (doc_id, r_lex) ⊕ (sem_doc_id, r_sem) —
+    both ≤ _RRF_DEPTH rows — into the exact-rational top-10 surface
+    shared by both hybrid variants."""
     both = F.col("r_lex").isNotNull() & F.col("r_sem").isNotNull()
-    # full outer cannot broadcast a side — but both inputs are ≤50 rows
     fused = lex.join(
         sem, lex.doc_id == sem.sem_doc_id, "full_outer"
     ).select(
@@ -620,3 +617,204 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+@register("text_hybrid_rrf", oracle=_HYBRID_RRF_ORACLE, tags=("text", "llm"))
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search — the RAG-stack retrieval primitive: fuse the BM25
+    lexical top-50 (query {spark, data, window}) with the embedding-cosine
+    semantic top-50 (query-by-example: vec_id 0's embedding) by reciprocal
+    rank fusion, 1/(60+rank) per list.
+
+    The fused score is an exact rational of the two integer ranks, emitted
+    as (rrf_num, rrf_den) and ranked by one correctly-rounded division —
+    the same no-float-drift contract as the rest of the relevance family.
+
+    Scale shape: each list is a TakeOrderedAndProject over its scoring
+    pipeline (BM25: semi-filtered postings join; semantic: map-only
+    broadcast-query cosine — at web scale the brute-force side swaps for
+    the IVF route in similarity.py, same 50-row list out). The fusion
+    itself joins two ≤50-row frames — broadcast, trivially."""
+    from ._vector import dot_q, cosine_q, norm2_q, quantize
+
+    lex = _bm25_lex_top50(spark, sf_dir)
+
+    # semantic list: fixed-point cosine against the broadcast query vector
+    nv = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .withColumn("n2", norm2_q(F.col("qv")))
+    )
+    qvec = nv.filter(F.col("vec_id") == _RRF_QUERY_ID).select(
+        F.col("qv").alias("qv_q"), F.col("n2").alias("n2_q")
+    )
+    semscore = (
+        nv.filter((F.col("vec_id") != _RRF_QUERY_ID) & (F.col("n2") > 0))
+        .crossJoin(F.broadcast(qvec))
+        .filter(F.col("n2_q") > 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_q(
+                dot_q(F.col("qv"), F.col("qv_q")), F.col("n2"), F.col("n2_q")
+            ).alias("cos"),
+        )
+    )
+    w_sem = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    sem = (
+        semscore.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+        .withColumn("r_sem", F.row_number().over(w_sem))
+        .select(F.col("doc_id").alias("sem_doc_id"), "r_sem")
+    )
+    return _rrf_fuse(lex, sem)
+
+
+# --- hybrid retrieval, IVF-routed semantic side ------------------------------
+
+# The text_hybrid_rrf docstring claims "at web scale the brute-force side
+# swaps for the IVF route ... same 50-row list out". This operator IS that
+# swap, with a green oracle proving it: identical lexical list, identical
+# fusion, but the semantic candidates come from the k-means IVF route
+# (query vector → nprobe nearest centroids → exact cosine within probed
+# cells only). Scanned vectors drop by ~nprobe/k — the 100 TB semantic
+# path — while the deterministic integer Lloyd loop + exact-int routing
+# keep the whole pipeline hash-checkable (sql_kmeans_assign unrolls it).
+_NPROBE_HY = 4
+
+_HYBRID_IVF_ORACLE = f"""
+WITH {sql_kmeans_assign()},
+{_BM25_CTES},
+lexscore AS (SELECT doc_id, CAST(SUM(CAST(FLOOR(r) AS BIGINT)) AS BIGINT) AS score_milli
+             FROM raw_terms GROUP BY doc_id),
+lex AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS r_lex
+        FROM lexscore
+        QUALIFY r_lex <= {_RRF_DEPTH}),
+nv AS (SELECT vec_id, cluster, qv, {sql_dot('qv', 'qv')} AS n2 FROM assign{_KM_ITERS}),
+cpos AS (SELECT cluster, unnest(qv) AS v, unnest(range(0, {_KM_DIM})) AS d
+         FROM assign{_KM_ITERS}),
+cent AS (
+  SELECT cluster, list(sv ORDER BY d) AS cv,
+         {sql_dot('list(sv ORDER BY d)', 'list(sv ORDER BY d)')} AS cn2
+  FROM (SELECT cluster, d, CAST(SUM(v) AS BIGINT) AS sv FROM cpos GROUP BY cluster, d) t
+  GROUP BY cluster
+),
+qvec AS (SELECT qv AS qv_q, n2 AS n2_q FROM nv WHERE vec_id = {_RRF_QUERY_ID}),
+routed AS (
+  SELECT cluster AS probe_cluster FROM (
+    SELECT c.cluster,
+           ROW_NUMBER() OVER (
+             ORDER BY {sql_cosine(sql_dot('q.qv_q', 'c.cv'), 'q.n2_q', 'c.cn2')} DESC,
+                      c.cluster) AS rn
+    FROM qvec q CROSS JOIN cent c
+  ) WHERE rn <= {_NPROBE_HY}
+),
+semscore AS (
+  SELECT c.vec_id AS doc_id,
+         {sql_cosine(sql_dot('c.qv', 'q.qv_q'), 'c.n2', 'q.n2_q')} AS cos
+  FROM nv c JOIN routed r ON c.cluster = r.probe_cluster CROSS JOIN qvec q
+  WHERE c.vec_id <> {_RRF_QUERY_ID} AND c.n2 > 0 AND q.n2_q > 0
+),
+sem AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+        FROM semscore
+        QUALIFY r_sem <= {_RRF_DEPTH}),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex.r_lex, sem.r_sem
+  FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id
+)
+SELECT doc_id,
+       CAST(COALESCE(r_lex, 0) AS BIGINT) AS rank_lex,
+       CAST(COALESCE(r_sem, 0) AS BIGINT) AS rank_sem,
+       CAST(CASE WHEN r_lex IS NOT NULL AND r_sem IS NOT NULL
+                 THEN ({_RRF_K} + r_lex) + ({_RRF_K} + r_sem)
+                 ELSE 1 END AS BIGINT) AS rrf_num,
+       CAST(CASE WHEN r_lex IS NOT NULL AND r_sem IS NOT NULL
+                 THEN ({_RRF_K} + r_lex) * ({_RRF_K} + r_sem)
+                 WHEN r_lex IS NOT NULL THEN {_RRF_K} + r_lex
+                 ELSE {_RRF_K} + r_sem END AS BIGINT) AS rrf_den
+FROM fused
+ORDER BY CAST(rrf_num AS DOUBLE) / rrf_den DESC, doc_id
+LIMIT 10
+"""
+
+
+@register(
+    "sim_hybrid_rrf_ivf",
+    oracle=_HYBRID_IVF_ORACLE,
+    tags=("similarity", "text", "llm"),
+)
+def sim_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with the semantic side on the IVF route: the
+    "swap at web scale" variant of ``text_hybrid_rrf``, oracle-checked.
+
+    Route the query embedding (vec_id 0) to its nprobe=4 nearest k-means
+    centroids (exact integer sum-vector centroids — cosine is
+    scale-invariant so the un-divided sums route identically to means),
+    exact top-50 cosine within the probed cells only, then the same
+    reciprocal-rank fusion with the BM25 lexical top-50.
+
+    Scale shape: the Lloyd loop is the shared ``kmeans_fit_assign``
+    (map-only Arrow assignment + one partial agg per iteration); routing
+    is a broadcast of ONE query row against k centroid rows; the
+    candidate scan is an equi-join on the probed cluster ids — scanned
+    vectors drop by ~nprobe/k vs the brute-force variant while the fused
+    surface keeps the exact-rational no-drift contract."""
+    from ._vector import cosine_q, dot_q, norm2_q, quantize
+    from .kmeans import kmeans_fit_assign
+
+    lex = _bm25_lex_top50(spark, sf_dir)
+
+    assigned = kmeans_fit_assign(spark, sf_dir)
+    nv = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .join(assigned, "vec_id")
+        .withColumn("n2", norm2_q(F.col("qv")))
+    )
+    # exact integer centroid (sum vector) per cluster — same shape as
+    # sim_ivf_search's index build
+    pos = nv.select("cluster", F.posexplode("qv").alias("d", "v"))
+    cent = (
+        pos.groupBy("cluster", "d")
+        .agg(F.sum("v").alias("sv"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "sv"))).alias("ds"))
+        .select("cluster", F.transform("ds", lambda s: s["sv"]).alias("cv"))
+        .withColumn("cn2", norm2_q(F.col("cv")))
+    )
+    qvec = nv.filter(F.col("vec_id") == _RRF_QUERY_ID).select(
+        F.col("qv").alias("qv_q"), F.col("n2").alias("n2_q")
+    )
+    # route: ONE query row × k centroid rows, top-nprobe by cosine —
+    # TakeOrderedAndProject over a broadcast nested-loop of two tiny sides
+    routed = (
+        F.broadcast(qvec)
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "route_cos",
+            cosine_q(dot_q(F.col("qv_q"), F.col("cv")), F.col("n2_q"), F.col("cn2")),
+        )
+        .orderBy(F.col("route_cos").desc(), F.col("cluster").asc())
+        .limit(_NPROBE_HY)
+        .select(F.col("cluster").alias("probe_cluster"), "qv_q", "n2_q")
+    )
+    semscore = (
+        nv.filter((F.col("vec_id") != _RRF_QUERY_ID) & (F.col("n2") > 0))
+        .join(F.broadcast(routed), F.col("cluster") == F.col("probe_cluster"))
+        .filter(F.col("n2_q") > 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_q(
+                dot_q(F.col("qv"), F.col("qv_q")), F.col("n2"), F.col("n2_q")
+            ).alias("cos"),
+        )
+    )
+    w_sem = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    sem = (
+        semscore.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+        .withColumn("r_sem", F.row_number().over(w_sem))
+        .select(F.col("doc_id").alias("sem_doc_id"), "r_sem")
+    )
+    return _rrf_fuse(lex, sem)

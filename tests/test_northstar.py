@@ -299,3 +299,22 @@ def test_semantic_dedup_finds_dup_pairs(spark):
             )
     # the strict-inequality check must actually have run on something
     assert perturbed_seen > 0, "no perturbed pair was co-clustered"
+
+
+def test_hybrid_ivf_semantic_overlap_vs_bruteforce(spark):
+    """The IVF-routed hybrid (sim_hybrid_rrf_ivf) is oracle-checked for
+    exactness; this asserts its SEMANTIC quality claim — the probed-cell
+    top-50 must recover most of the brute-force semantic top-50, so the
+    fused top-10 stays close to text_hybrid_rrf's. Lexical lists are
+    shared code, hence identical by construction."""
+    from olap_db_spark.operators.relevance import (
+        sim_hybrid_rrf_ivf,
+        text_hybrid_rrf,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    bf = [r["doc_id"] for r in text_hybrid_rrf(spark, sf).collect()]
+    ivf = [r["doc_id"] for r in sim_hybrid_rrf_ivf(spark, sf).collect()]
+    assert len(ivf) == 10
+    overlap = len(set(bf) & set(ivf)) / len(bf)
+    assert overlap >= 0.6, f"fused top-10 overlap too low: {overlap} ({bf} vs {ivf})"

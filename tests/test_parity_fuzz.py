@@ -20,7 +20,20 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from olap_db_spark.operators.relevance import (
+    BIGRAM_BOUNDARY_GUARD_SQL,
+    BM25_BOUNDARY_GUARD_SQL,
+)
+from olap_db_spark.operators.text_analysis import KL_BOUNDARY_GUARD_SQL
 from olap_db_spark.registry import all_queries
+
+# Floor-quantized transcendental surfaces → their integer-boundary guard
+# SQL (defined NEXT TO each oracle from the same raw-term constant).
+_BOUNDARY_GUARDS = {
+    "bm25_milli": BM25_BOUNDARY_GUARD_SQL,
+    "bigram_micro": BIGRAM_BOUNDARY_GUARD_SQL,
+    "domain_kl_nano": KL_BOUNDARY_GUARD_SQL,
+}
 
 # Alphabet chosen to provoke engine divergence: ascii words, digits,
 # punctuation, unicode (accents, CJK, combining chars), and the space
@@ -75,6 +88,20 @@ def _vhash(cols, rows) -> str:
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted(tuple(repr(r[i]) for i in idx) for r in rows)
     return hashlib.md5(repr(canon).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("gname", sorted(_BOUNDARY_GUARDS))
+def test_no_boundary_straddlers_on_real_testdata(gname):
+    """The same guard, run once against the driver's actual sf0.01 corpus:
+    today's data must not contain a term whose floor could flip."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    straddlers = con.sql(_BOUNDARY_GUARDS[gname]).fetchall()
+    con.close()
+    assert not straddlers, straddlers[:5]
 
 
 @pytest.fixture(scope="module")
@@ -138,5 +165,15 @@ def test_text_family_parity_on_adversarial_corpora(fuzz_env, corpus):
             name,
             sorted(srows)[:4],
             sorted(orows)[:4],
+        )
+    # Boundary guard (round-6 ADVICE): no floor-quantized transcendental
+    # term may sit within libm-drift distance (~4 ulp) of an integer
+    # boundary — such a datum could flip the floor cross-engine without
+    # any hash mismatch HERE, then flap at the driver on regenerated data.
+    for gname, gsql in _BOUNDARY_GUARDS.items():
+        straddlers = con.sql(gsql).fetchall()
+        assert not straddlers, (
+            f"{gname}: quantized terms within drift of an integer "
+            f"boundary: {straddlers[:5]}"
         )
     con.close()
