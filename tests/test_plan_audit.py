@@ -15,6 +15,7 @@ from olap_db_spark import registry
 from olap_db_spark.plans.audit import (
     _FLAGSHIP_CHECKS,
     _no_global_window_over,
+    generic_violations,
     plan_string,
 )
 
@@ -39,6 +40,16 @@ def test_plan_property(spark, name, label, needle):
         assert needle[1:] not in plan, f"{name}: unexpected {needle[1:]} ({label})"
     else:
         assert needle in plan, f"{name}: missing {needle} ({label})"
+
+
+@pytest.mark.parametrize("name", sorted(registry.all_queries()))
+def test_generic_scale_gate(spark, name):
+    """Universal 100 TB screen over EVERY registered query (r6 VERDICT
+    item 4): no CartesianProduct, AQE wraps every shuffling plan, no
+    unfused global-sort-under-limit. A new operator can no longer land
+    with a scale-killer plan unnoticed."""
+    df = registry.all_queries()[name].fn(spark, SF)
+    assert generic_violations(df, name) == []
 
 
 @pytest.mark.parametrize("name", ["ts_gap_fill", "text_pack_sequences"])
