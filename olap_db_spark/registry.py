@@ -71,6 +71,8 @@ _PRIORITY: tuple[str, ...] = (
     # therefore predates the HUGEINT-cast fix + the driver's arrow-fetch
     # change — the exact class that silently flapped in r4/r5).
     #
+    # Tier 0 — NEW in round 7, never driver-checked.
+    "sim_hybrid_rrf_ivf",
     # Tier 1 — the 11 rows whose latest green is round 3.
     "agg_quantiles",
     "agg_rollup",
@@ -128,7 +130,9 @@ _PRIORITY: tuple[str, ...] = (
     "ts_sliding_window",
     "ts_tumbling_window",
     "window_distribution",
-    "window_range_frame",
+    # window_range_frame (r4) rolls to round 8 — displaced by the one new
+    # round-7 query (never-checked queries take precedence over stale-green
+    # rotation; see tests/test_registry.py::test_driver_window_contents).
 )
 
 

@@ -82,6 +82,19 @@ def test_driver_window_contents():
     )
 
 
+def test_readme_inventory_matches_registry():
+    """README's inventory line is GENERATED (tools/update_inventory.py);
+    this gate keeps its query count honest against the live registry (the
+    test count is validated by the tool itself at generation time)."""
+    readme = pathlib.Path(__file__).resolve().parents[1] / "README.md"
+    line = next(
+        l for l in readme.read_text().splitlines() if l.startswith("Final inventory:")
+    )
+    assert "<!-- inventory:auto -->" in line, "inventory line is hand-maintained"
+    n = len(registry.all_queries())
+    assert f"**{n} queries" in line, (line, n)
+
+
 def test_every_query_has_fn_and_oracle():
     qs = registry.all_queries()
     assert len(qs) >= 113
