@@ -542,12 +542,32 @@ WHERE a.n2 > 0 AND b.n2 > 0
 """
 
 
+# Per-task tile edge for the label-blocked pair matmul: a label block of
+# k vectors is split into ⌈k/_EMB_TILE⌉ rank-contiguous tiles and the
+# exact all-pairs scoring fans out over tile PAIRS, so one task computes
+# at most a _EMB_TILE × _EMB_TILE matmul no matter how large a block
+# grows. The total O(k²) work of exact all-pairs semantics is unchanged —
+# it is DISTRIBUTED instead of concentrated in one quadratic straggler
+# task per label (the sf1 scale probe caught the old shape at 31× cost
+# for 10× data: 10 fixed labels → 10 tasks, each 100× the work).
+_EMB_TILE = 512
+
+
 @register("dedup_embedding_cosine", oracle=_EMB_ORACLE, tags=("dedup", "northstar"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: label-blocked pair join, fixed-point cosine
+    """Embedding near-dup: label-blocked pair scoring, fixed-point cosine
     ≥ 0.95. Blocking by label keeps the pair count linear-ish; at 100 TB
     the label becomes an LSH/IVF bucket (see similarity.ann_lsh) — the
-    join shape is identical."""
+    join shape is identical.
+
+    Scale shape: within a label, rows are rank-tiled by vec_id
+    (_EMB_TILE per tile) and every tile PAIR (ta ≤ tb) becomes one
+    applyInPandas group scoring a bounded Ta×Tb integer matmul — the pair
+    set and the arithmetic are bit-identical to the single-block form
+    (same quantization, same int64 dots, same sqrt·sqrt division order),
+    but per-task memory/work is capped by construction and the quadratic
+    total parallelizes across the cluster. Row fan-out is ⌈k/T⌉ copies
+    per row — O(k²/T) replicated rows, ≪ the O(k²) pair space."""
     e = load(spark, sf_dir, "embeddings")
     corpus = e.select("vec_id", "label", "embedding").unionAll(
         e.select(
@@ -555,47 +575,101 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # Per-block pairwise scoring as ONE integer matmul per label group
-    # (applyInPandas delivers the whole group): ~10× faster than per-pair
-    # array-lambda dots, and bit-identical — quantization uses explicit
-    # round-half-away (np.rint is banker's!) and the cosine divides by
-    # (sqrt·sqrt) in the oracle's exact operation order. Self-contained
-    # closure (executor workers can't import this package). At 100 TB the
-    # group is an IVF/LSH bucket; bucket sizing bounds the O(k²) block.
-    def _make_block_scorer():
+    # Rank-contiguous tiles ordered by vec_id, so every row in tile ta has
+    # a smaller vec_id than every row in tile tb > ta — the a<b pair
+    # orientation is free. Each row joins group (ta, tb) once as side 'a'
+    # (partners tb ≥ own tile) and once as side 'b' (partners ta ≤ own
+    # tile); the diagonal group ta == tb sees each row on both sides and
+    # keeps the strict upper triangle.
+    w = Window.partitionBy("label").orderBy("vec_id")
+    tiled = corpus.select(
+        "vec_id",
+        "label",
+        "embedding",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(_EMB_TILE))
+        .cast("int")
+        .alias("tile"),
+        (
+            (F.count(F.lit(1)).over(Window.partitionBy("label")) - F.lit(1))
+            / F.lit(_EMB_TILE)
+        )
+        .cast("int")
+        .alias("last_tile"),
+    )
+    fan = tiled.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.col("tile").alias("ta"),
+        F.explode(F.sequence(F.col("tile"), F.col("last_tile"))).alias("tb"),
+        F.lit("a").alias("side"),
+    ).unionAll(
+        tiled.select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.col("tile"))).alias("ta"),
+            F.col("tile").alias("tb"),
+            F.lit("b").alias("side"),
+        )
+    )
+
+    # Per-tile-pair scoring as ONE bounded integer matmul (applyInPandas
+    # delivers the whole group): ~10× faster than per-pair array-lambda
+    # dots, and bit-identical — quantization uses explicit round-half-away
+    # (np.rint is banker's!) and the cosine divides by (sqrt·sqrt) in the
+    # oracle's exact operation order. Self-contained closure (executor
+    # workers can't import this package).
+    def _make_tile_scorer():
         def pairs(pdf):
             import numpy as _np
             import pandas as _pd
 
-            ids = pdf["vec_id"].to_numpy()
-            m = _np.stack(pdf["embedding"].map(_np.asarray).values).astype(
-                _np.float64
+            def prep(sub):
+                ids = sub["vec_id"].to_numpy()
+                m = _np.stack(sub["embedding"].map(_np.asarray).values).astype(
+                    _np.float64
+                )
+                v = m * 1000000.0
+                q = (_np.floor(_np.abs(v) + 0.5) * _np.sign(v)).astype(
+                    _np.int64
+                )
+                n2 = (q * q).sum(axis=1)  # exact int64 self-dots
+                # zero-norm vectors (all |x| < 0.5/scale) would make 0/0
+                # NaN cosines with engine-divergent `>=` semantics;
+                # exclude them (mirrored by the oracle's n2 > 0).
+                nz = n2 > 0
+                return ids[nz], q[nz], n2[nz].astype(_np.float64)
+
+            empty = _pd.DataFrame(
+                {
+                    "vec_a": _np.array([], dtype=_np.int64),
+                    "vec_b": _np.array([], dtype=_np.int64),
+                    "cos_sim": _np.array([], dtype=_np.float64),
+                }
             )
-            v = m * 1000000.0
-            q = (_np.floor(_np.abs(v) + 0.5) * _np.sign(v)).astype(_np.int64)
-            dots = q @ q.T  # exact int64
-            n2 = _np.diag(dots).astype(_np.float64)
-            # zero-norm vectors (all |x| < 0.5/scale) would make 0/0 NaN
-            # cosines with engine-divergent `>=` semantics; exclude them
-            # (mirrored by the n2 > 0 predicates in the oracle).
-            nz = n2 > 0
-            ids, dots, n2 = ids[nz], dots[_np.ix_(nz, nz)], n2[nz]
-            cos = dots / (_np.sqrt(n2)[:, None] * _np.sqrt(n2)[None, :])
-            iu = _np.triu_indices(len(ids), k=1)
-            a, b, c = ids[iu[0]], ids[iu[1]], cos[iu]
-            keep = c >= 0.95
+            ids_a, qa, n2a = prep(pdf[pdf["side"] == "a"])
+            ids_b, qb, n2b = prep(pdf[pdf["side"] == "b"])
+            if not len(ids_a) or not len(ids_b):
+                return empty
+            dots = qa @ qb.T  # exact int64
+            cos = dots / (_np.sqrt(n2a)[:, None] * _np.sqrt(n2b)[None, :])
+            # strict a<b keeps the upper triangle on the diagonal group
+            # and is vacuously true off-diagonal (tiles ranked by vec_id)
+            keep = (ids_a[:, None] < ids_b[None, :]) & (cos >= 0.95)
+            ia, ib = _np.nonzero(keep)
             return _pd.DataFrame(
                 {
-                    "vec_a": _np.minimum(a, b)[keep],
-                    "vec_b": _np.maximum(a, b)[keep],
-                    "cos_sim": c[keep],
+                    "vec_a": ids_a[ia],
+                    "vec_b": ids_b[ib],
+                    "cos_sim": cos[ia, ib],
                 }
             )
 
         return pairs
 
-    return corpus.groupBy("label").applyInPandas(
-        _make_block_scorer(), "vec_a LONG, vec_b LONG, cos_sim DOUBLE"
+    return fan.groupBy("label", "ta", "tb").applyInPandas(
+        _make_tile_scorer(), "vec_a LONG, vec_b LONG, cos_sim DOUBLE"
     )
 
 

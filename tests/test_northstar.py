@@ -318,3 +318,26 @@ def test_hybrid_ivf_semantic_overlap_vs_bruteforce(spark):
     assert len(ivf) == 10
     overlap = len(set(bf) & set(ivf)) / len(bf)
     assert overlap >= 0.6, f"fused top-10 overlap too low: {overlap} ({bf} vs {ivf})"
+
+
+def test_embedding_cosine_tile_invariance(spark):
+    """The rank-tiled pair fan-out of dedup_embedding_cosine must emit the
+    EXACT pair set of the single-block form at any tile size (the sf1
+    scale probe caught the untiled shape at 31x cost for 10x data): force
+    a tiny tile so every label block spans many tiles, and assert
+    bit-identical output against the default (single-tile-per-label at
+    this sf)."""
+    import olap_db_spark.operators.fuzzy_dedup as fd
+
+    sf = "/root/testdata/sf0.01"
+    base = sorted(tuple(r) for r in fd.dedup_embedding_cosine(spark, sf).collect())
+    assert len(base) > 0
+    old = fd._EMB_TILE
+    fd._EMB_TILE = 16
+    try:
+        tiled = sorted(
+            tuple(r) for r in fd.dedup_embedding_cosine(spark, sf).collect()
+        )
+    finally:
+        fd._EMB_TILE = old
+    assert base == tiled
