@@ -106,6 +106,16 @@ _FLAGSHIP_CHECKS = {
         ("probed-cell candidates via hash join", "BroadcastHashJoin"),
         ("no cartesian pair blow-up", "!CartesianProduct"),
     ],
+    # round-7: DSIR importance resampling — map-only gram fan-out, the
+    # O(buckets) weight table broadcast onto the stream, Gumbel-top-k as
+    # one TakeOrderedAndProject
+    "text_dsir_select": [
+        ("map-side gram fan-out", "Generate"),
+        ("weight table broadcast onto gram stream", "BroadcastHashJoin"),
+        ("map-side combine on doc score", "partial_"),
+        ("Gumbel-top-k, no global sort", "TakeOrderedAndProject"),
+        ("no cartesian blow-up", "!CartesianProduct"),
+    ],
     "dedup_span_exact": [
         ("map-side window fan-out", "Generate"),
         ("map-side combine on fp", "partial_"),

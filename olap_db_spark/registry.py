@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "olap_db_spark.operators.sketches",
     "olap_db_spark.operators.analytics_tpch",
     "olap_db_spark.operators.graph",
+    "olap_db_spark.operators.data_selection",
 )
 
 
@@ -73,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     #
     # Tier 0 — NEW in round 7, never driver-checked.
     "sim_hybrid_rrf_ivf",
+    "text_dsir_select",
     # Tier 1 — the 11 rows whose latest green is round 3.
     "agg_quantiles",
     "agg_rollup",
@@ -129,10 +131,10 @@ _PRIORITY: tuple[str, ...] = (
     "ts_session_window",
     "ts_sliding_window",
     "ts_tumbling_window",
-    "window_distribution",
-    # window_range_frame (r4) rolls to round 8 — displaced by the one new
-    # round-7 query (never-checked queries take precedence over stale-green
-    # rotation; see tests/test_registry.py::test_driver_window_contents).
+    # window_distribution and window_range_frame (both r4) roll to round 8
+    # — displaced by the two new round-7 queries (never-checked queries
+    # take precedence over stale-green rotation; see
+    # tests/test_registry.py::test_driver_window_contents).
 )
 
 

@@ -4,6 +4,8 @@ dup-pair detection, determinism across partitionings."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from olap_db_spark.operators.fuzzy_dedup import (
     _DUP_OFFSET,
     dedup_minhash_lsh,
@@ -341,3 +343,34 @@ def test_embedding_cosine_tile_invariance(spark):
     finally:
         fd._EMB_TILE = old
     assert base == tiled
+
+
+def test_dsir_enriches_target_domain(spark):
+    """DSIR's whole point: the selected subset must over-represent the
+    target domain relative to its corpus share. src0 is 1/20 of sources
+    (~5% of docs); with importance weights sharpening the Gumbel draw,
+    the selected 64 should hold several times that share. Deterministic:
+    content-addressed noise, fixed corpus."""
+    from olap_db_spark.operators.data_selection import (
+        _DSIR_K,
+        _DSIR_TARGET_SOURCE,
+        text_dsir_select,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = text_dsir_select(spark, sf).collect()
+    assert len(rows) == _DSIR_K
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus_share = (
+        docs.filter(F.col("source") == _DSIR_TARGET_SOURCE).count() / docs.count()
+    )
+    sel_share = sum(r["source"] == _DSIR_TARGET_SOURCE for r in rows) / len(rows)
+    assert sel_share >= 2 * corpus_share, (sel_share, corpus_share)
+    # ... and the score actually drives selection: target-source docs
+    # carry systematically higher importance scores than the rest of the
+    # selection (E_target[log p_t/p_r] = KL ≥ 0 is the method's premise;
+    # individual docs can still go negative on rare-gram buckets)
+    tgt = [r["score_micro"] for r in rows if r["source"] == _DSIR_TARGET_SOURCE]
+    rest = [r["score_micro"] for r in rows if r["source"] != _DSIR_TARGET_SOURCE]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)

@@ -20,6 +20,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from olap_db_spark.operators.data_selection import DSIR_BOUNDARY_GUARD_SQL
 from olap_db_spark.operators.relevance import (
     BIGRAM_BOUNDARY_GUARD_SQL,
     BM25_BOUNDARY_GUARD_SQL,
@@ -33,6 +34,7 @@ _BOUNDARY_GUARDS = {
     "bm25_milli": BM25_BOUNDARY_GUARD_SQL,
     "bigram_micro": BIGRAM_BOUNDARY_GUARD_SQL,
     "domain_kl_nano": KL_BOUNDARY_GUARD_SQL,
+    "dsir_micro": DSIR_BOUNDARY_GUARD_SQL,
 }
 
 # Alphabet chosen to provoke engine divergence: ascii words, digits,
@@ -81,6 +83,7 @@ _QUERIES = (
     "text_domain_kl",
     "dedup_exact",
     "dedup_span_exact",
+    "text_dsir_select",
 )
 
 
