@@ -549,8 +549,11 @@ WHERE a.n2 > 0 AND b.n2 > 0
 # grows. The total O(k²) work of exact all-pairs semantics is unchanged —
 # it is DISTRIBUTED instead of concentrated in one quadratic straggler
 # task per label (the sf1 scale probe caught the old shape at 31× cost
-# for 10× data: 10 fixed labels → 10 tasks, each 100× the work).
-_EMB_TILE = 512
+# for 10× data: 10 fixed labels → 10 tasks, each 100× the work). 1024 is
+# the sf10-measured sweet spot between fan-out shuffle volume (rows are
+# replicated ⌈k/T⌉ times) and per-task matmul size: 116 s vs 177 s for
+# both 512 and 2048 at 40k-row blocks.
+_EMB_TILE = 1024
 
 
 @register("dedup_embedding_cosine", oracle=_EMB_ORACLE, tags=("dedup", "northstar"))

@@ -694,9 +694,12 @@ nv AS (SELECT vec_id, cluster, qv, {sql_dot('qv', 'qv')} AS n2 FROM assign{_KM_I
 cpos AS (SELECT cluster, unnest(qv) AS v, unnest(range(0, {_KM_DIM})) AS d
          FROM assign{_KM_ITERS}),
 cent AS (
+  -- integer MEAN centroid (truncating //, == Spark DIV): components
+  -- bounded by the quantization scale so cn2 never overflows BIGINT at
+  -- any cluster size (the sum-vector form overflowed at the sf10 probe)
   SELECT cluster, list(sv ORDER BY d) AS cv,
          {sql_dot('list(sv ORDER BY d)', 'list(sv ORDER BY d)')} AS cn2
-  FROM (SELECT cluster, d, CAST(SUM(v) AS BIGINT) AS sv FROM cpos GROUP BY cluster, d) t
+  FROM (SELECT cluster, d, CAST(SUM(v) AS BIGINT) // COUNT(*) AS sv FROM cpos GROUP BY cluster, d) t
   GROUP BY cluster
 ),
 qvec AS (SELECT qv AS qv_q, n2 AS n2_q FROM nv WHERE vec_id = {_RRF_QUERY_ID}),
@@ -749,10 +752,12 @@ def sim_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "swap at web scale" variant of ``text_hybrid_rrf``, oracle-checked.
 
     Route the query embedding (vec_id 0) to its nprobe=4 nearest k-means
-    centroids (exact integer sum-vector centroids — cosine is
-    scale-invariant so the un-divided sums route identically to means),
-    exact top-50 cosine within the probed cells only, then the same
-    reciprocal-rank fusion with the BM25 lexical top-50.
+    centroids (exact integer MEAN centroids via truncating DIV —
+    components bounded by the quantization scale, so the centroid norm
+    can never overflow int64 at any cluster size; the sum-vector form
+    did, at the sf10 probe), exact top-50 cosine within the probed cells
+    only, then the same reciprocal-rank fusion with the BM25 lexical
+    top-50.
 
     Scale shape: the Lloyd loop is the shared ``kmeans_fit_assign``
     (map-only Arrow assignment + one partial agg per iteration); routing
@@ -772,12 +777,13 @@ def sim_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(assigned, "vec_id")
         .withColumn("n2", norm2_q(F.col("qv")))
     )
-    # exact integer centroid (sum vector) per cluster — same shape as
-    # sim_ivf_search's index build
+    # exact integer MEAN centroid per cluster (truncating DIV, bounded
+    # components — no int64 overflow at any cluster size; same shape as
+    # sim_ivf_search's index build)
     pos = nv.select("cluster", F.posexplode("qv").alias("d", "v"))
     cent = (
         pos.groupBy("cluster", "d")
-        .agg(F.sum("v").alias("sv"))
+        .agg(F.expr("sum(v) DIV count(1)").alias("sv"))
         .groupBy("cluster")
         .agg(F.array_sort(F.collect_list(F.struct("d", "sv"))).alias("ds"))
         .select("cluster", F.transform("ds", lambda s: s["sv"]).alias("cv"))

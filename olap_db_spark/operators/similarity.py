@@ -330,8 +330,13 @@ n AS (SELECT vec_id, cluster, qv, {sql_dot('qv', 'qv')} AS n2 FROM assign{_KM_IT
 pos AS (SELECT cluster, unnest(qv) AS v, unnest(range(0, {_DIM})) AS d
         FROM assign{_KM_ITERS}),
 cent AS (
+  -- integer MEAN centroid: truncating division (DuckDB // == Spark DIV,
+  -- both toward zero) bounds each component by the quantization scale,
+  -- so cn2 <= dim * scale^2 can never overflow BIGINT no matter how
+  -- large a cluster grows (sum-vector centroids overflowed at the sf10
+  -- probe); cosine routing against the mean is the true IVF route
   SELECT cluster, list(sv ORDER BY d) AS cv, {sql_dot('list(sv ORDER BY d)', 'list(sv ORDER BY d)')} AS cn2
-  FROM (SELECT cluster, d, CAST(SUM(v) AS BIGINT) AS sv FROM pos GROUP BY cluster, d) t
+  FROM (SELECT cluster, d, CAST(SUM(v) AS BIGINT) // COUNT(*) AS sv FROM pos GROUP BY cluster, d) t
   GROUP BY cluster
 ),
 routed AS (
@@ -368,10 +373,12 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fully oracle-checked — twice over: the deterministic integer Lloyd
     loop unrolls into SQL (``sql_kmeans_assign``) so DuckDB reproduces
-    the exact cluster assignment, and the routing centroid is the EXACT
-    integer sum vector of its members (cosine is scale-invariant, so the
-    un-divided sum routes identically to the mean while staying in exact
-    int64 arithmetic). Round-1 used the testdata's arbitrary ``label``
+    the exact cluster assignment, and the routing centroid is the exact
+    integer MEAN of its members (truncating DIV, identical in both
+    engines — components stay bounded by the quantization scale so the
+    centroid norm can never overflow int64 at any cluster size; the
+    sum-vector form did at the sf10 probe). Round-1 used the testdata's
+    arbitrary ``label``
     partitions (recall ~0.2–0.3, honestly documented); geometric k-means
     cells fix recall (asserted ≥ 0.6 in tests/test_northstar.py).
 
@@ -386,11 +393,14 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(assigned, "vec_id")
         .withColumn("n2", norm2_q(F.col("qv")))
     )
-    # exact integer centroid (sum vector) per k-means cluster
+    # exact integer MEAN centroid per k-means cluster (truncating DIV —
+    # components bounded by the quantization scale, so the centroid norm
+    # can never overflow int64 at any cluster size; mirrors the oracle's
+    # // division exactly)
     pos = q.select("cluster", F.posexplode("qv").alias("d", "v"))
     cent = (
         pos.groupBy("cluster", "d")
-        .agg(F.sum("v").alias("sv"))
+        .agg(F.expr("sum(v) DIV count(1)").alias("sv"))
         .groupBy("cluster")
         .agg(F.array_sort(F.collect_list(F.struct("d", "sv"))).alias("ds"))
         .select("cluster", F.transform("ds", lambda s: s["sv"]).alias("cv"))

@@ -26,7 +26,12 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = Path("/root/testdata/sf0.1")
-DST = Path(__file__).resolve().parents[1] / ".scaledata" / "sf1"
+
+
+def _dst(repl: int) -> Path:
+    # sf0.1 × repl: repl=10 → sf1, repl=100 → sf10
+    name = f"sf{repl / 10:g}"
+    return Path(__file__).resolve().parents[1] / ".scaledata" / name
 
 # table -> {column: stride_key}; each column is offset by
 # i * (max(stride_key column over its HOME table) + 1) for replica i.
@@ -57,6 +62,7 @@ _OFFSETS = {
 
 def main() -> None:
     repl = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    DST = _dst(repl)
     DST.mkdir(parents=True, exist_ok=True)
 
     strides: dict[str, int] = {}
@@ -79,7 +85,16 @@ def main() -> None:
                     cols.append(col)
                 reps.append(pa.table(dict(zip(src.column_names, cols))))
         out = pa.concat_tables(reps)
-        pq.write_table(out, DST / f"{table}.parquet")
+        # bounded row groups: a single big file must still yield enough
+        # parquet splits to feed every core (a 500k-row documents file
+        # with ~7 row groups capped map parallelism at 7/32 tasks in the
+        # first sf10 probe — a layout artifact, not a plan property).
+        # ~64 groups per file, floored so tiny tables stay single-group.
+        pq.write_table(
+            out,
+            DST / f"{table}.parquet",
+            row_group_size=max(8192, out.num_rows // 64),
+        )
         print(f"{table}: {src.num_rows} -> {out.num_rows} rows")
 
 
