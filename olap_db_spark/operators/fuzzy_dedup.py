@@ -132,6 +132,107 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental (cross-snapshot) dedup --------------------------------------------
+
+_INCR_ORACLE = f"""
+WITH base AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
+),
+batch AS (
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id,
+         md5(lower(trim(
+           CASE WHEN doc_id % 10 = 0 THEN text || ' zq' ELSE text END
+         ))) AS fp
+  FROM documents
+  UNION ALL
+  -- second arrival of every perturbed doc: an in-batch duplicate by
+  -- construction, so all three status branches are non-vacuous
+  SELECT doc_id + {2 * _DUP_OFFSET} AS doc_id,
+         md5(lower(trim(text || ' zq'))) AS fp
+  FROM documents
+  WHERE doc_id % 10 = 0
+),
+firsts AS (SELECT fp, MIN(doc_id) AS first_id FROM batch GROUP BY fp)
+SELECT b.doc_id, b.fp,
+       CASE WHEN base.fp IS NOT NULL THEN 'dup_of_base'
+            WHEN b.doc_id > f.first_id THEN 'dup_in_batch'
+            ELSE 'novel' END AS status,
+       CAST(CASE WHEN base.fp IS NULL AND b.doc_id = f.first_id
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM batch b
+JOIN firsts f USING (fp)
+LEFT JOIN base USING (fp)
+"""
+
+
+@register("dedup_incremental", oracle=_INCR_ORACLE, tags=("dedup",))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: the shape a continuously
+    ingested crawl actually runs — dedup TODAY'S batch against the
+    already-curated corpus without ever re-touching the corpus text.
+    Base snapshot = ``documents``; new batch = the shifted dup-corpus
+    half (90% exact copies of base, 10% perturbed → genuinely new) plus
+    a SECOND arrival of every perturbed doc at doc_id + 2·offset, so
+    in-batch duplicates exist by construction and all three status
+    branches are exercised, not just declared. Every batch doc is
+    classified: ``dup_of_base`` (fingerprint already
+    in the corpus), ``dup_in_batch`` (a lower doc_id in the same batch
+    owns the fingerprint), or ``novel``; ``keep`` marks exactly the
+    first-arrival novel docs — what gets appended to the corpus.
+
+    Scale shape: only (doc_id, 16-byte md5) pairs ever move — the base
+    text is never read past fingerprinting, and at 100 TB the base side
+    IS the stored fingerprint table (append ``keep=1`` rows back to it
+    each batch, never recompute). One map-side-combinable hash-agg on
+    the batch fingerprint + one equi-join against base fingerprints; a
+    daily batch is tiny next to the accumulated corpus, so the join
+    shuffles the small batch side into the base's layout (bucket the
+    stored fp table by fp and the exchange disappears entirely), and
+    Spark's runtime bloom filter prunes base partitions that contain no
+    batch fingerprint."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base_fp = d.select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    ).distinct()
+    batch = d.select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.md5(
+            F.lower(
+                F.trim(
+                    F.when(
+                        F.col("doc_id") % 10 == 0,
+                        F.concat(F.col("text"), F.lit(" zq")),
+                    ).otherwise(F.col("text"))
+                )
+            )
+        ).alias("fp"),
+    ).unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 2 * _DUP_OFFSET).alias("doc_id"),
+            F.md5(
+                F.lower(F.trim(F.concat(F.col("text"), F.lit(" zq"))))
+            ).alias("fp"),
+        )
+    )
+    firsts = batch.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    j = batch.join(firsts, "fp").join(
+        base_fp.withColumn("in_base", F.lit(1)), "fp", "left"
+    )
+    in_base = F.col("in_base").isNotNull()
+    return j.select(
+        "doc_id",
+        "fp",
+        F.when(in_base, F.lit("dup_of_base"))
+        .when(F.col("doc_id") > F.col("first_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("novel"))
+        .alias("status"),
+        F.when(~in_base & (F.col("doc_id") == F.col("first_id")), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 # --- n-gram Jaccard ----------------------------------------------------------------
 
 # CTE block shared by the pair query and the connected-components oracle
@@ -291,11 +392,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs (not all pairs) fetch shingle arrays for verification.
     """
     sh = _shingled(_dup_corpus(spark, sf_dir))
+    return (
+        _candidate_jaccard(_lsh_candidates(sh), sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _lsh_candidates(sh: DataFrame) -> DataFrame:
+    """MinHash signature → band keys → distinct candidate (doc_a < doc_b)
+    pairs. Shared by ``dedup_minhash_lsh`` and ``dedup_lsh_eval``.
+
+    Hash per occurrence + map-side-combined min: ONE shuffle. (A
+    hash-distinct-shingles-then-join variant computes 20× fewer md5s but
+    costs two extra shuffles — measured a wash locally and strictly
+    worse at scale, where shuffles dominate hash compute.)"""
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    # Hash per occurrence + map-side-combined min: ONE shuffle. (A
-    # hash-distinct-shingles-then-join variant computes 20× fewer md5s but
-    # costs two extra shuffles — measured a wash locally and strictly
-    # worse at scale, where shuffles dominate hash compute.)
     digests = [
         F.md5(F.concat(F.lit(f"{a}|"), F.col("sh"))) for a in range(_N_MD5)
     ]
@@ -331,7 +443,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bk.band_no", "bk.band_key")
     a = bandkeys.alias("a")
     b = bandkeys.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
@@ -341,6 +453,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _candidate_jaccard(candidates: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (never all pairs): two
+    equi-joins fetch the shingle arrays, then integer set math."""
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -351,8 +468,121 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- LSH quality evaluation (measured precision/recall, not a claim) ---------
+
+_LSH_EVAL_ORACLE = f"""
+WITH {_JACCARD_CTES},
+sigs AS (
+  SELECT doc_id, {_SIGS_SQL}
+  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled) t
+  GROUP BY doc_id
+),
+banded AS (SELECT doc_id, {_BANDS_SQL} FROM sigs),
+bandkeys AS ({_BAND_UNION_SQL}),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM candidates c
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+),
+cls AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE v.doc_a IS NOT NULL AND t.doc_a IS NOT NULL)
+         AS BIGINT) AS tp,
+    CAST(COUNT(*) FILTER (WHERE v.doc_a IS NULL) AS BIGINT) AS missed,
+    CAST(COUNT(*) FILTER (WHERE t.doc_a IS NULL) AS BIGINT) AS beyond_blocking
+  FROM verified v
+  FULL OUTER JOIN jpairs t ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b
+),
+cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM candidates),
+tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM jpairs),
+vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_verified FROM verified)
+SELECT n_truth, n_cand, n_verified, tp, missed, beyond_blocking,
+       CAST(CASE WHEN n_cand = 0 THEN 0
+                 ELSE n_verified * 1000000 // n_cand END AS BIGINT)
+         AS cand_precision_micro,
+       CAST(CASE WHEN n_truth = 0 THEN 0
+                 ELSE tp * 1000000 // n_truth END AS BIGINT)
+         AS recall_micro
+FROM cls, tn, cn, vn
+"""
+
+
+@register("dedup_lsh_eval", oracle=_LSH_EVAL_ORACLE, tags=("dedup",))
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH quality: score the MinHash(8)×LSH(4×2) route against
+    the exact capped-blocking Jaccard pairs on the same corpus — recall /
+    candidate precision as NUMBERS, not docstring claims.
+
+    One row: n_truth (exact pairs ≥ 0.5 under shared-shingle blocking,
+    doc-freq cap 50), n_cand (LSH candidate pairs), n_verified
+    (candidates passing exact-Jaccard verify), tp (verified ∩ truth),
+    missed (truth pairs the LSH route lost — band-collision misses),
+    beyond_blocking (verified pairs the capped exact blocking cannot see:
+    pairs whose every shared shingle is a >cap hub — LSH's structural
+    advantage), and integer-exact micro ratios via truncating DIV
+    (Spark ``DIV`` ≡ DuckDB ``//`` on non-negatives).
+
+    Scale shape: both pair generators are the production blocked shapes
+    (never all-pairs); the comparison is one full-outer equi-join on the
+    pair key plus three 1-row count aggregates folded in by broadcast
+    crossJoin (BroadcastNestedLoopJoin over single rows — the allow-listed
+    1-row shape, not a Cartesian blow-up)."""
+    sh = _shingled(_dup_corpus(spark, sf_dir))
+    cand = _lsh_candidates(sh)
+    ver = (
+        _candidate_jaccard(cand, sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    j = ver.withColumn("in_v", F.lit(1)).join(
+        truth.withColumn("in_t", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    # count(when(cond, 1)) not sum(): count is 0 (not NULL) on empty input.
+    cls = j.agg(
+        F.count(
+            F.when(F.col("in_v").isNotNull() & F.col("in_t").isNotNull(), 1)
+        ).alias("tp"),
+        F.count(F.when(F.col("in_v").isNull(), 1)).alias("missed"),
+        F.count(F.when(F.col("in_t").isNull(), 1)).alias("beyond_blocking"),
+    )
+    cn = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    tn = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    vn = ver.agg(F.count(F.lit(1)).alias("n_verified"))
+    one = (
+        cls.crossJoin(F.broadcast(cn))
+        .crossJoin(F.broadcast(tn))
+        .crossJoin(F.broadcast(vn))
+    )
+    return one.select(
+        "n_truth",
+        "n_cand",
+        "n_verified",
+        "tp",
+        "missed",
+        "beyond_blocking",
+        F.expr(
+            "CAST(CASE WHEN n_cand = 0 THEN 0"
+            " ELSE n_verified * 1000000 DIV n_cand END AS BIGINT)"
+        ).alias("cand_precision_micro"),
+        F.expr(
+            "CAST(CASE WHEN n_truth = 0 THEN 0"
+            " ELSE tp * 1000000 DIV n_truth END AS BIGINT)"
+        ).alias("recall_micro"),
     )
 
 
@@ -680,8 +910,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computes each node's reachable set over the (tiny per-component) pair
 # graph; component = min over {node} ∪ reachable. Exponential-closure cost
 # is fine at oracle scale — the distributed engine uses star contraction.
-_COMPONENTS_ORACLE = f"""
-WITH RECURSIVE {_JACCARD_CTES},
+# CTE chain shared with the cluster-representative oracle below.
+_CC_CTES = f"""{_JACCARD_CTES},
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM jpairs
   UNION
@@ -694,7 +924,10 @@ reach(node, m) AS (
 ),
 comp AS (
   SELECT node, LEAST(node, MIN(m)) AS component FROM reach GROUP BY node
-)
+)"""
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_CC_CTES}
 SELECT node AS doc_id, component,
        CAST(CASE WHEN node = component THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
 FROM comp
@@ -794,6 +1027,73 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "component",
         (F.col("doc_id") == F.col("component")).cast("int").alias("is_keeper"),
+    )
+
+
+# --- canonical-representative selection per duplicate cluster ----------------
+
+_CLUSTER_BEST_ORACLE = f"""
+WITH RECURSIVE {_CC_CTES},
+scored AS (
+  SELECT c.node AS doc_id, c.component,
+         CAST(len(string_split(trim(t.text), ' ')) AS BIGINT) AS n_tokens
+  FROM comp c JOIN corpus t ON t.doc_id = c.node
+),
+best AS (
+  SELECT component,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MAX(n_tokens) AS BIGINT) AS best_tokens,
+         CAST(SUM(n_tokens) AS BIGINT) AS tot
+  FROM scored GROUP BY component
+)
+SELECT b.component,
+       CAST(MIN(s.doc_id) AS BIGINT) AS keep_id,
+       b.n_members, b.best_tokens,
+       CAST(b.tot - b.best_tokens AS BIGINT) AS dropped_tokens
+FROM best b
+JOIN scored s ON s.component = b.component AND s.n_tokens = b.best_tokens
+GROUP BY b.component, b.n_members, b.best_tokens, b.tot
+"""
+
+
+@register("dedup_cluster_best", oracle=_CLUSTER_BEST_ORACLE, tags=("dedup", "northstar"))
+def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: the step AFTER clustering that
+    real curation pipelines run — keep the highest-quality member of each
+    near-dup cluster (longest doc; ties → lowest doc_id), not an arbitrary
+    one. Composes ``dedup_components`` (star-contraction CC over the exact
+    Jaccard pair graph) with a per-doc token count and reports, per
+    cluster: the keeper, member count, and tokens that deduplication
+    discards.
+
+    Determinism: the keeper is argmax(tokens, then min doc_id), realised
+    as one lexicographic struct-max ``max(struct(n_tokens, -doc_id))`` —
+    a single map-side-combinable aggregate, no window, no tie ambiguity.
+
+    Scale shape: CC output is O(duplicated docs), token counts are a
+    map-only projection of the corpus; one equi-join + one hash aggregate
+    on the component key. Nothing is driver-side; the corpus text never
+    moves — only (doc_id, n_tokens) pairs shuffle."""
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    toks = _dup_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    scored = comp.join(toks, "doc_id")
+    best = scored.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("n_tokens").alias("best_tokens"),
+        F.max(
+            F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("w"),
+        F.sum("n_tokens").alias("tot"),
+    )
+    return best.select(
+        "component",
+        (-F.col("w.neg_id")).alias("keep_id"),
+        "n_members",
+        "best_tokens",
+        (F.col("tot") - F.col("best_tokens")).alias("dropped_tokens"),
     )
 
 

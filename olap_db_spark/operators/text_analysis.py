@@ -948,6 +948,65 @@ def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-domain document caps (C4 / RefinedWeb-style) ------------------------
+
+_CAP_K = 10  # kept docs per source
+_CAP_SALTS = 4  # phase-1 sub-partitions per source
+
+_DOMAIN_CAP_ORACLE = f"""
+SELECT source, doc_id, n_tokens, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT source, doc_id,
+         CAST(len({_WS}) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY len({_WS}) DESC, doc_id
+         ) AS rnk
+  FROM documents
+) t
+WHERE rnk <= {_CAP_K}
+"""
+
+
+@register("text_domain_cap", oracle=_DOMAIN_CAP_ORACLE, tags=("text", "sample"))
+def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps: keep at most K docs per source, best
+    first (longest; ties → lowest doc_id) — the curation step that stops
+    one hot domain from dominating the training mix (C4 capped URLs per
+    host; RefinedWeb caps per-domain contributions).
+
+    Scale shape: a single window over ``source`` would hash one ENTIRE
+    domain into one task — and web-crawl domains are exactly where key
+    skew lives (one host can be 1% of the corpus). So top-K runs in two
+    bounded phases: (1) row_number within (source, salt) where
+    salt = doc_id % {_CAP_SALTS}, keeping ≤ K per sub-partition — per-task
+    rows ≈ |domain|/{_CAP_SALTS}, tunable to any skew; (2) row_number
+    within source over the ≤ {_CAP_SALTS}·K survivors. Phase 1 can never
+    drop a final winner (every global top-K row ranks ≤ K inside its own
+    salt), so the result is row-identical to the direct single-window
+    form the oracle computes — the tie-break on unique doc_id makes the
+    order total, hence the equality exact, not approximate."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    order = [F.col("n_tokens").desc(), F.col("doc_id")]
+    w1 = Window.partitionBy(
+        "source", (F.col("doc_id") % _CAP_SALTS).alias("salt")
+    ).orderBy(*order)
+    survivors = (
+        d.withColumn("pre", F.row_number().over(w1))
+        .filter(F.col("pre") <= _CAP_K)
+        .drop("pre")
+    )
+    w2 = Window.partitionBy("source").orderBy(*order)
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= _CAP_K)
+        .select("source", "doc_id", "n_tokens", "rnk")
+    )
+
+
 # --- per-source KL divergence from the corpus distribution -------------------
 
 # Domain-shift monitor: KL(P_source ‖ P_corpus) over the whitespace-token

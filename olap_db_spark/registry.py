@@ -75,6 +75,10 @@ _PRIORITY: tuple[str, ...] = (
     # Tier 0 — NEW in round 7, never driver-checked.
     "sim_hybrid_rrf_ivf",
     "text_dsir_select",
+    "dedup_cluster_best",
+    "dedup_lsh_eval",
+    "dedup_incremental",
+    "text_domain_cap",
     # Tier 1 — the 11 rows whose latest green is round 3.
     "agg_quantiles",
     "agg_rollup",
@@ -134,7 +138,12 @@ _PRIORITY: tuple[str, ...] = (
     # window_distribution and window_range_frame (both r4) roll to round 8
     # — displaced by the two new round-7 queries (never-checked queries
     # take precedence over stale-green rotation; see
-    # tests/test_registry.py::test_driver_window_contents).
+    # tests/test_registry.py::test_driver_window_contents). Likewise
+    # ts_gap_fill, ts_session_window, ts_sliding_window and
+    # ts_tumbling_window (all r4, above): they stay listed for round-8
+    # ordering but fall past slot 50 this round, displaced by the six
+    # never-checked round-7 queries (dedup_cluster_best, dedup_lsh_eval,
+    # dedup_incremental, text_domain_cap and the two above).
 )
 
 

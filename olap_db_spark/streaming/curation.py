@@ -122,6 +122,38 @@ def span_dedup_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFra
     )
 
 
+def incremental_dedup_stream(
+    docs: DataFrame, base_fp: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of incremental (cross-snapshot) dedup
+    (operators/fuzzy_dedup.dedup_incremental): a continuously arriving
+    batch is deduped against the STORED corpus fingerprint table, and
+    within itself, as it lands — the continuous-ingest form of
+    "append only what the corpus has never seen".
+
+    ``base_fp`` is the static fingerprint table (one 16-byte md5 ``fp``
+    column — at 100 TB this is the accumulated corpus state, bucketed by
+    fp). The stream-static LEFT ANTI join is STATELESS — each micro-batch
+    probes the static side and drops known fingerprints without
+    accumulating any state; only the within-batch first-arrival dedup
+    carries state, and that is watermark-bounded via
+    ``dropDuplicatesWithinWatermark`` (one watermark-interval of
+    fingerprints, not the unbounded ingest history). Emits exactly the
+    docs the batch operator marks ``keep=1``, modulo the documented
+    within-micro-batch winner ambiguity among same-fp arrivals."""
+    fp = docs.select(
+        "doc_id",
+        "ingest_ts",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    fresh = fp.join(base_fp.select("fp"), "fp", "left_anti")
+    return (
+        fresh.withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("doc_id", "fp")
+    )
+
+
 # --- continuous domain-drift (KL) monitoring ---------------------------------
 
 

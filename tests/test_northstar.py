@@ -374,3 +374,121 @@ def test_dsir_enriches_target_domain(spark):
     rest = [r["score_micro"] for r in rows if r["source"] != _DSIR_TARGET_SOURCE]
     assert tgt and rest
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_cluster_best_is_exact_argmax_over_components(spark):
+    """dedup_cluster_best contract: one row per component; the keeper is
+    the longest member (ties → lowest doc_id); token accounting is exact
+    against an independently computed per-doc token count."""
+    from olap_db_spark.operators.fuzzy_dedup import (
+        _dup_corpus,
+        dedup_cluster_best,
+        dedup_components,
+    )
+
+    best = {r["component"]: r for r in dedup_cluster_best(spark, SF).collect()}
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in _dup_corpus(spark, SF)
+        .select(
+            "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n")
+        )
+        .collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in dedup_components(spark, SF).collect():
+        members.setdefault(r["component"], []).append(r["doc_id"])
+    assert best and set(best) == set(members)
+    for c, row in best.items():
+        ms = members[c]
+        mx = max(toks[m] for m in ms)
+        assert row["n_members"] == len(ms)
+        assert row["best_tokens"] == mx
+        assert row["keep_id"] == min(m for m in ms if toks[m] == mx)
+        assert row["dropped_tokens"] == sum(toks[m] for m in ms) - mx
+
+
+def test_lsh_eval_identities_and_recall(spark):
+    """dedup_lsh_eval contract: the confusion counts partition exactly
+    (tp + missed = truth, tp + beyond_blocking = verified) and on the
+    synthetic near-identical dup corpus the LSH route recovers ≥ 90% of
+    the exact pairs."""
+    from olap_db_spark.operators.fuzzy_dedup import dedup_lsh_eval
+
+    rows = dedup_lsh_eval(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["tp"] + r["missed"] == r["n_truth"]
+    assert r["tp"] + r["beyond_blocking"] == r["n_verified"]
+    assert 0 < r["n_verified"] <= r["n_cand"]
+    assert r["n_truth"] > 0
+    assert r["recall_micro"] >= 900_000
+    assert 0 <= r["cand_precision_micro"] <= 1_000_000
+
+
+def test_incremental_dedup_mirrors_exact_set_logic(spark):
+    """dedup_incremental contract, checked against a full independent
+    Python mirror at sf0.001: statuses are exactly what the base-text set
+    + batch first-arrival logic dictates, and keep == 1 iff novel."""
+    from olap_db_spark.operators.fuzzy_dedup import dedup_incremental
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    norm = lambda t: t.strip().lower()  # noqa: E731
+    base = {norm(t) for t in docs.values()}
+    batch = {
+        i + _DUP_OFFSET: norm(t + " zq" if i % 10 == 0 else t)
+        for i, t in docs.items()
+    }
+    batch.update(
+        {i + 2 * _DUP_OFFSET: norm(t + " zq") for i, t in docs.items() if i % 10 == 0}
+    )
+    first = {}
+    for bid in sorted(batch):
+        first.setdefault(batch[bid], bid)
+    expected = {
+        bid: (
+            "dup_of_base"
+            if txt in base
+            else ("novel" if first[txt] == bid else "dup_in_batch")
+        )
+        for bid, txt in batch.items()
+    }
+
+    rows = dedup_incremental(spark, SF).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert r["status"] == expected[r["doc_id"]], r
+        assert r["keep"] == int(r["status"] == "novel"), r
+
+
+def test_domain_cap_equals_direct_topk(spark):
+    """text_domain_cap contract: the salted two-phase result is
+    row-identical to the direct per-source top-K computed independently,
+    with sequential ranks 1..min(K, |source|)."""
+    from olap_db_spark.operators.text_analysis import _CAP_K, text_domain_cap
+
+    toks = [
+        (r["source"], r["doc_id"], len(r["text"].strip().split(" ")))
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source", "doc_id", "text")
+        .collect()
+    ]
+    expected = set()
+    by_src: dict[str, list[tuple[str, int, int]]] = {}
+    for t in toks:
+        by_src.setdefault(t[0], []).append(t)
+    for src, rows_ in by_src.items():
+        rows_.sort(key=lambda t: (-t[2], t[1]))
+        for rnk, t in enumerate(rows_[:_CAP_K], start=1):
+            expected.add((src, t[1], t[2], rnk))
+
+    got = {
+        (r["source"], r["doc_id"], r["n_tokens"], r["rnk"])
+        for r in text_domain_cap(spark, SF).collect()
+    }
+    assert got == expected

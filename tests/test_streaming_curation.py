@@ -157,3 +157,63 @@ def test_domain_kl_stream_equals_batch(spark, tmp_path):
     ]
     assert got == want
     assert len(got) > 0
+
+
+def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming incremental dedup == the batch operator's keep set: the
+    SAME synthetic batch (shifted copies, 10% perturbed, second arrivals
+    of every perturbed doc) streamed against the base fingerprint table
+    must emit one row per novel fingerprint, never a base fingerprint,
+    and every winner must be one of that fingerprint's batch arrivals
+    (within-micro-batch winner is processing-order dependent — the same
+    contract as the span-dedup twin)."""
+    from olap_db_spark.operators.fuzzy_dedup import (
+        _DUP_OFFSET,
+        dedup_incremental,
+    )
+    from olap_db_spark.streaming.curation import incremental_dedup_stream
+
+    d = load(spark, SF, "documents").select("doc_id", "text", "lang", "source", "n_chars")
+    perturbed = F.concat(F.col("text"), F.lit(" zq"))
+    batch = d.select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.when(F.col("doc_id") % 10 == 0, perturbed).otherwise(F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 2 * _DUP_OFFSET).alias("doc_id"),
+            perturbed.alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    batch_dir = tmp_path / "incr_batch"
+    batch.coalesce(1).write.parquet(str(batch_dir))
+
+    base_fp = d.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp")).distinct()
+    got = {
+        (r["fp"], r["doc_id"])
+        for r in run_available_now(
+            incremental_dedup_stream(
+                stream_documents(spark, str(batch_dir)), base_fp
+            ),
+            "t_incr_dedup",
+            "append",
+        )
+    }
+
+    truth = dedup_incremental(spark, SF).collect()
+    novel_fps = {r["fp"] for r in truth if r["status"] == "novel"}
+    arrivals: dict[str, set[int]] = {}
+    for r in truth:
+        if r["status"] != "dup_of_base":
+            arrivals.setdefault(r["fp"], set()).add(r["doc_id"])
+
+    assert len(got) == len({fp for fp, _ in got}), "a fingerprint won twice"
+    assert {fp for fp, _ in got} == novel_fps
+    assert novel_fps, "vacuous: no novel docs in the batch"
+    for fp, doc_id in got:
+        assert doc_id in arrivals[fp], (fp, doc_id)
