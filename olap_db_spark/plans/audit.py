@@ -279,6 +279,35 @@ _FLAGSHIP_CHECKS = {
         ("bucket equi-join", "BroadcastHashJoin"),
         ("no cartesian product", "!CartesianProduct"),
     ],
+    # round-7: dedup lifecycle closure
+    "dedup_incremental": [
+        # first-arrival resolution is one map-side-combinable hash agg on
+        # the fingerprint; the base-fp comparison is an equi-join, never
+        # a pair blow-up
+        ("map-side combine on fp", "partial_min"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    "dedup_cluster_best": [
+        # the keeper argmax is ONE lexicographic struct-max hash
+        # aggregate — a window implementation would sort every component
+        ("struct-max as hash aggregate", "partial_max"),
+        ("no window pass", "!Window ["),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    "dedup_lsh_eval": [
+        # the three scalar counts fold in as 1-row broadcast nested-loop
+        # joins (the allow-listed shape); the truth/verified comparison is
+        # an equi-join on the pair key
+        ("1-row count folds broadcast", "BroadcastNestedLoopJoin"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    "text_domain_cap": [
+        # both phases are windows over (source, salt) then source — no
+        # global sort, and the scan reads only the three needed columns
+        ("salted ranking windows", "Window ["),
+        ("no global sort", "!Sort [n_tokens"),
+        ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+    ],
 }
 
 
