@@ -84,6 +84,12 @@ _QUERIES = (
     "dedup_exact",
     "dedup_span_exact",
     "text_dsir_select",
+    # round-7 additions — all documents-only, so regenerated-data classes
+    # (unicode, empty docs, real duplicates) hit them exactly like the rest
+    "dedup_incremental",
+    "text_domain_cap",
+    "dedup_cluster_best",
+    "dedup_lsh_eval",
 )
 
 
