@@ -276,7 +276,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 50 — candidate generation is a hash join on the shingle, never a
     cross join. Jaccard is exact integer set math → one deterministic
     division."""
-    sh = _shingled(_dup_corpus(spark, sf_dir))
+    return _jaccard_pairs(_shingled(_dup_corpus(spark, sf_dir)))
+
+
+def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """Exact capped-blocking Jaccard pairs (≥ 0.5) over a shingled frame.
+    Shared by ``dedup_ngram_jaccard`` and ``dedup_lsh_eval`` so the eval
+    scores against the identical truth pipeline (and the shingle subtree
+    is built once per plan)."""
     # One pass: explode carries each doc's shingle-set size, so pair rows
     # already hold both set sizes — no sizes join, no shingle recompute.
     exploded = sh.select(
@@ -537,36 +544,34 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark ``DIV`` ≡ DuckDB ``//`` on non-negatives).
 
     Scale shape: both pair generators are the production blocked shapes
-    (never all-pairs); the comparison is one full-outer equi-join on the
-    pair key plus three 1-row count aggregates folded in by broadcast
-    crossJoin (BroadcastNestedLoopJoin over single rows — the allow-listed
-    1-row shape, not a Cartesian blow-up)."""
+    (never all-pairs); the comparison is ONE full-outer equi-join on the
+    pair key, and every one of the six confusion counts folds out of that
+    single joined stream in one map-side-combinable aggregate — no
+    separate count branches re-deriving the pair pipelines (the first
+    shape of this query did exactly that: three scalar-count subtrees
+    re-ran candidate generation, verification and the truth route from
+    the parquet scan up, 24 scans in the plan and 2× the runtime)."""
     sh = _shingled(_dup_corpus(spark, sf_dir))
-    cand = _lsh_candidates(sh)
-    ver = (
-        _candidate_jaccard(cand, sh)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
+    # UNFILTERED candidate jaccard: the verify threshold becomes a flag,
+    # so n_cand and n_verified come from the same rows.
+    cv = _candidate_jaccard(_lsh_candidates(sh), sh).withColumn(
+        "in_c", F.lit(1)
     )
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    j = ver.withColumn("in_v", F.lit(1)).join(
-        truth.withColumn("in_t", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
-    )
+    truth = _jaccard_pairs(sh).select("doc_a", "doc_b", F.lit(1).alias("in_t"))
+    j = cv.join(truth, ["doc_a", "doc_b"], "full_outer")
+    # A truth pair that is also a candidate ALWAYS verifies (its exact
+    # jaccard is ≥ 0.5 by the truth definition), so missed ≡ truth∧¬ver.
+    # in_c-null rows make `ver` false (not null): false AND null = false.
+    ver = F.col("in_c").isNotNull() & (F.col("jaccard") >= 0.5)
+    in_t = F.col("in_t").isNotNull()
     # count(when(cond, 1)) not sum(): count is 0 (not NULL) on empty input.
-    cls = j.agg(
-        F.count(
-            F.when(F.col("in_v").isNotNull() & F.col("in_t").isNotNull(), 1)
-        ).alias("tp"),
-        F.count(F.when(F.col("in_v").isNull(), 1)).alias("missed"),
-        F.count(F.when(F.col("in_t").isNull(), 1)).alias("beyond_blocking"),
-    )
-    cn = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    tn = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    vn = ver.agg(F.count(F.lit(1)).alias("n_verified"))
-    one = (
-        cls.crossJoin(F.broadcast(cn))
-        .crossJoin(F.broadcast(tn))
-        .crossJoin(F.broadcast(vn))
+    one = j.agg(
+        F.count("in_t").alias("n_truth"),
+        F.count("in_c").alias("n_cand"),
+        F.count(F.when(ver, 1)).alias("n_verified"),
+        F.count(F.when(ver & in_t, 1)).alias("tp"),
+        F.count(F.when(in_t & ~ver, 1)).alias("missed"),
+        F.count(F.when(ver & ~in_t, 1)).alias("beyond_blocking"),
     )
     return one.select(
         "n_truth",

@@ -295,10 +295,12 @@ _FLAGSHIP_CHECKS = {
         ("no cartesian product", "!CartesianProduct"),
     ],
     "dedup_lsh_eval": [
-        # the three scalar counts fold in as 1-row broadcast nested-loop
-        # joins (the allow-listed shape); the truth/verified comparison is
-        # an equi-join on the pair key
-        ("1-row count folds broadcast", "BroadcastNestedLoopJoin"),
+        # all six confusion counts fold out of ONE full-outer pair join in
+        # a single map-side-combinable aggregate — separate scalar-count
+        # branches (the query's first shape) re-derived the pair pipelines
+        # from the scan up and doubled the runtime
+        ("single-pass confusion counts", "partial_count"),
+        ("no per-count broadcast folds", "!BroadcastNestedLoopJoin"),
         ("no cartesian product", "!CartesianProduct"),
     ],
     "text_domain_cap": [
