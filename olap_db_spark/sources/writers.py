@@ -273,3 +273,84 @@ def delete_where(
         )
         _shutil.rmtree(part_dir, ignore_errors=True)
     return touched
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> list:
+    """Small-file compaction (the OPTIMIZE / ClickHouse merge analog) for
+    a directory-partitioned Parquet table — the table-maintenance job
+    every continuously appended 100 TB sink needs: steady
+    ``idempotent_append`` / streaming ingest leaves partitions fragmented
+    into per-batch files, and a scan's map parallelism + footer overhead
+    degrade with file COUNT, not data volume (the round-7 sf10 probe
+    measured the dual failure — too FEW row groups — capping a 32-core
+    scan at 7 tasks; both are layout repairs, not plan repairs).
+
+    A partition is rewritten only when its file count exceeds
+    ``ceil(partition_bytes / target_bytes)`` — the file count its data
+    volume actually needs; each rewritten partition is coalesced to
+    exactly that many files via dynamic partition overwrite. Untouched
+    partitions stay byte-identical on disk, rows are never changed, and
+    re-running is a no-op (idempotent maintenance). File inventory comes
+    from a driver-side directory listing — control-plane metadata, the
+    same role a table format's manifest plays; on an object store this
+    is one LIST per partition prefix.
+
+    Returns the list of compacted partition values (as directory-encoded
+    strings)."""
+    import math
+    import os
+
+    base = path.rstrip("/")
+    todo: list[tuple[str, int]] = []  # (partition value string, want)
+    if not os.path.isdir(base):
+        return []
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(base)):
+        pdir = os.path.join(base, entry)
+        if not (entry.startswith(prefix) and os.path.isdir(pdir)):
+            continue
+        files = [
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        ]
+        total = sum(os.path.getsize(f) for f in files)
+        want = max(1, math.ceil(total / target_bytes))
+        if len(files) > want:
+            todo.append((entry[len(prefix):], want))
+    if not todo:
+        return []
+    compacted = []
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        for pval, want in todo:
+            # One pruned scan per fragmented partition; coalesce (not
+            # repartition) — no shuffle, readers just concatenate splits.
+            part = spark.read.parquet(f"{base}/{partition_col}={pval}")
+            # Directory names are Hive-%-escaped; the column value is not.
+            from urllib.parse import unquote
+
+            value = (
+                None if pval == "__HIVE_DEFAULT_PARTITION__" else unquote(pval)
+            )
+            rewritten = (
+                part.withColumn(
+                    partition_col, F.lit(value).cast("string")
+                )
+                .coalesce(want)
+                .localCheckpoint()  # the overwrite must not read its own source
+            )
+            rewritten.write.mode("overwrite").partitionBy(partition_col).parquet(
+                base
+            )
+            compacted.append(pval)
+    finally:
+        spark.conf.set(conf_key, old)
+    return compacted

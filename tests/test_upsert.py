@@ -164,3 +164,72 @@ def test_delete_where_no_match_is_noop(spark, tmp_path):
     before = _files_state(path)
     assert delete_where(spark, path, "day", "id = 999") == []
     assert _files_state(path) == before
+
+
+def test_compact_partitions_merges_only_fragmented(spark, tmp_path):
+    """compact_partitions: the fragmented partition's many small files
+    collapse to the count its volume needs; rows are bit-identical before
+    and after; untouched partitions stay byte-identical; a second run is
+    a no-op."""
+    from olap_db_spark.sources.writers import compact_partitions
+
+    path = str(tmp_path / "tbl")
+    # day=1: ONE tidy file. day=2: 8 per-batch appends (the fragmented
+    # shape steady ingest leaves behind).
+    spark.createDataFrame(
+        [(1, k, f"a{k}") for k in range(50)], "day INT, k INT, val STRING"
+    ).coalesce(1).write.partitionBy("day").parquet(path)
+    for b in range(8):
+        spark.createDataFrame(
+            [(2, 100 * b + k, f"b{b}{k}") for k in range(5)],
+            "day INT, k INT, val STRING",
+        ).coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+
+    def rows():
+        return {
+            (r["day"], r["k"], r["val"])
+            for r in spark.read.parquet(path).collect()
+        }
+
+    def files(day):
+        return sorted(
+            glob.glob(os.path.join(path, f"day={day}", "*.parquet"))
+        )
+
+    before_rows = rows()
+    before_day1 = _files_state(os.path.join(path, "day=1"))
+    assert len(files(2)) == 8
+
+    compacted = compact_partitions(spark, path, "day")
+    assert compacted == ["2"]
+    assert len(files(2)) == 1, "fragmented partition did not collapse"
+    assert rows() == before_rows, "compaction changed data"
+    assert _files_state(os.path.join(path, "day=1")) == before_day1, (
+        "untouched partition was rewritten"
+    )
+
+    assert compact_partitions(spark, path, "day") == [], "re-run not a no-op"
+
+
+def test_compact_partitions_respects_target_bytes(spark, tmp_path):
+    """With a tiny target_bytes the partition legitimately needs many
+    files — compaction must leave it alone rather than fight the target."""
+    from olap_db_spark.sources.writers import compact_partitions
+
+    path = str(tmp_path / "tbl2")
+    for b in range(4):
+        spark.createDataFrame(
+            [(1, 100 * b + k, "x" * 200) for k in range(50)],
+            "day INT, k INT, val STRING",
+        ).coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+    n_before = len(
+        glob.glob(os.path.join(path, "day=1", "*.parquet"))
+    )
+    state = _files_state(path)
+    # target smaller than any single file → want >= n_files → no-op
+    assert compact_partitions(spark, path, "day", target_bytes=1) == []
+    assert _files_state(path) == state
+    # generous target → one file
+    assert compact_partitions(spark, path, "day") == ["1"]
+    assert len(glob.glob(os.path.join(path, "day=1", "*.parquet"))) == 1
+    assert n_before == 4
