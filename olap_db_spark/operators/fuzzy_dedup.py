@@ -1087,7 +1087,9 @@ def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = comp.join(toks, "doc_id")
     best = scored.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.max("n_tokens").alias("best_tokens"),
+        # ONE lexicographic struct-max carries both outputs: w.n_tokens IS
+        # max(n_tokens) (it is the leading struct field), so keep_id and
+        # best_tokens can never disagree about which row won.
         F.max(
             F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id"))
         ).alias("w"),
@@ -1097,8 +1099,8 @@ def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (-F.col("w.neg_id")).alias("keep_id"),
         "n_members",
-        "best_tokens",
-        (F.col("tot") - F.col("best_tokens")).alias("dropped_tokens"),
+        F.col("w.n_tokens").alias("best_tokens"),
+        (F.col("tot") - F.col("w.n_tokens")).alias("dropped_tokens"),
     )
 
 

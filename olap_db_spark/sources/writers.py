@@ -13,9 +13,25 @@ database.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
+
+
+@contextmanager
+def _dynamic_overwrite(spark: SparkSession):
+    """Scope partitionOverwriteMode=dynamic to one write (the
+    partition-scoped rewrite paths all need it; the session default must
+    not leak)."""
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(conf_key, old)
 
 
 def _read_parquet_if_exists(
@@ -186,13 +202,8 @@ def upsert_partition_scoped(
         # analysis when the plan still references the source)
         .localCheckpoint()
     )
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
+    with _dynamic_overwrite(spark):
         latest.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set(conf_key, old)
     return parts
 
 
@@ -258,13 +269,8 @@ def delete_where(
         r[0] for r in survivors.select(partition_col).distinct().collect()
     }
     fully_deleted = [p for p in touched if p not in kept]
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
+    with _dynamic_overwrite(spark):
         survivors.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set(conf_key, old)
     import shutil as _shutil
 
     for p in fully_deleted:
@@ -295,16 +301,28 @@ def compact_partitions(
     volume actually needs; each rewritten partition is coalesced to
     exactly that many files via dynamic partition overwrite. Untouched
     partitions stay byte-identical on disk, rows are never changed, and
-    re-running is a no-op (idempotent maintenance). File inventory comes
-    from a driver-side directory listing — control-plane metadata, the
-    same role a table format's manifest plays; on an object store this
-    is one LIST per partition prefix.
+    re-running converges: a re-run is a no-op unless merging improved
+    compression enough to cross a ``target_bytes`` multiple (dictionary
+    pages dedup better in one file), in which case at most one more
+    rewrite settles the layout. File inventory comes from a driver-side
+    directory listing — control-plane metadata, the same role a table
+    format's manifest plays; on an object store this is one LIST per
+    partition prefix (Hadoop FileSystem API on a real cluster; plain-OS
+    listing here, and a URI-schemed path is REJECTED rather than
+    silently reported as already-compact — the delete_where/shutil
+    lesson).
 
     Returns the list of compacted partition values (as directory-encoded
     strings)."""
     import math
     import os
 
+    if "://" in path:
+        raise ValueError(
+            "compact_partitions lists files via the local OS; "
+            f"URI path {path!r} would silently report nothing to compact. "
+            "Route object-store tables through the Hadoop FileSystem API."
+        )
     base = path.rstrip("/")
     todo: list[tuple[str, int]] = []  # (partition value string, want)
     if not os.path.isdir(base):
@@ -326,10 +344,7 @@ def compact_partitions(
     if not todo:
         return []
     compacted = []
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
+    with _dynamic_overwrite(spark):
         for pval, want in todo:
             # One pruned scan per fragmented partition; coalesce (not
             # repartition) — no shuffle, readers just concatenate splits.
@@ -351,6 +366,4 @@ def compact_partitions(
                 base
             )
             compacted.append(pval)
-    finally:
-        spark.conf.set(conf_key, old)
     return compacted

@@ -438,7 +438,9 @@ def test_incremental_dedup_mirrors_exact_set_logic(spark):
         .select("doc_id", "text")
         .collect()
     }
-    norm = lambda t: t.strip().lower()  # noqa: E731
+    # strip(' ') not strip(): F.trim removes ASCII spaces only — a doc
+    # ending in '\n' must fingerprint identically in mirror and operator.
+    norm = lambda t: t.strip(" ").lower()  # noqa: E731
     base = {norm(t) for t in docs.values()}
     batch = {
         i + _DUP_OFFSET: norm(t + " zq" if i % 10 == 0 else t)
@@ -473,7 +475,7 @@ def test_domain_cap_equals_direct_topk(spark):
     from olap_db_spark.operators.text_analysis import _CAP_K, text_domain_cap
 
     toks = [
-        (r["source"], r["doc_id"], len(r["text"].strip().split(" ")))
+        (r["source"], r["doc_id"], len(r["text"].strip(" ").split(" ")))
         for r in spark.read.parquet(f"{SF}/documents.parquet")
         .select("source", "doc_id", "text")
         .collect()

@@ -233,3 +233,14 @@ def test_compact_partitions_respects_target_bytes(spark, tmp_path):
     assert compact_partitions(spark, path, "day") == ["1"]
     assert len(glob.glob(os.path.join(path, "day=1", "*.parquet"))) == 1
     assert n_before == 4
+
+
+def test_compact_partitions_rejects_uri_paths(spark):
+    """A URI-schemed path must fail loudly, not report 'already compact'
+    (the OS-listing inventory can't see object stores)."""
+    import pytest as _pytest
+
+    from olap_db_spark.sources.writers import compact_partitions
+
+    with _pytest.raises(ValueError, match="URI path"):
+        compact_partitions(spark, "s3a://bucket/tbl", "day")
