@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _HEAD = "_HEAD"
 _VERSIONS = "_versions"
+_BATCH = "_SPARK_BATCH"
 
 
 def _check_local(path: str) -> str:
@@ -82,12 +83,19 @@ def current_version(path: str) -> int | None:
         return None
 
 
-def snapshot_write(spark: SparkSession, df: DataFrame, path: str) -> int:
+def snapshot_write(
+    spark: SparkSession, df: DataFrame, path: str, batch_id: int | None = None
+) -> int:
     """Commit ``df`` as the next version: write an immutable version
     directory, then atomically swap HEAD. A reader holding the old HEAD
     keeps reading the old (untouched) files; a crash before the swap
     leaves an orphan directory and the table still serves the prior
-    version."""
+    version.
+
+    ``batch_id`` tags the version with a streaming micro-batch id (written
+    INSIDE the version directory before the swap, so it commits or
+    vanishes atomically with the data) — the idempotency token
+    ``foreach_batch_versioned`` uses for exactly-once commits."""
     base = _check_local(path)
     vroot = os.path.join(base, _VERSIONS)
     os.makedirs(vroot, exist_ok=True)
@@ -97,6 +105,11 @@ def snapshot_write(spark: SparkSession, df: DataFrame, path: str) -> int:
     existing = [int(e[2:]) for e in os.listdir(vroot) if e.startswith("v=")]
     v = max(existing, default=0) + 1
     df.write.mode("error").parquet(_vdir(base, v))
+    if batch_id is not None:
+        with open(os.path.join(_vdir(base, v), _BATCH), "w") as fh:
+            fh.write(str(batch_id))
+            fh.flush()
+            os.fsync(fh.fileno())
     tmp = os.path.join(base, f".{_HEAD}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(v))
@@ -104,6 +117,46 @@ def snapshot_write(spark: SparkSession, df: DataFrame, path: str) -> int:
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(base, _HEAD))  # the commit point
     return v
+
+
+def committed_batch_ids(path: str) -> set[int]:
+    """Micro-batch ids whose versions are COMMITTED (≤ HEAD). A batch
+    whose directory landed but whose pointer swap didn't is absent —
+    replaying it re-commits, which is exactly right."""
+    base = _check_local(path)
+    out = set()
+    for v in versions(path):
+        try:
+            with open(os.path.join(_vdir(base, v), _BATCH)) as fh:
+                out.add(int(fh.read().strip()))
+        except FileNotFoundError:
+            pass
+    return out
+
+
+def foreach_batch_versioned(path: str):
+    """Exactly-once streaming sink: ``writeStream.foreachBatch(...)``
+    handler that commits each micro-batch as one atomic version and
+    SKIPS batch ids already committed — Structured Streaming replays the
+    in-flight micro-batch after a restart, and without an idempotency
+    check every restart would duplicate it. The batch-id marker rides
+    inside the version directory, so it becomes visible atomically with
+    the data at the HEAD swap: crash before swap → marker invisible →
+    replay re-commits; crash after swap → marker visible → replay
+    no-ops. State is the table itself — no side ledger to drift.
+
+    Versions are WHOLE-TABLE snapshots, so pair this with
+    ``outputMode("complete")`` (or any per-trigger full-state result —
+    e.g. the continuously maintained KL-drift / count-state monitors in
+    ``streaming/``): each trigger atomically replaces the serving table
+    AND retains the full per-trigger history for time travel."""
+
+    def _fn(df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids(path):
+            return
+        snapshot_write(df.sparkSession, df, path, batch_id=batch_id)
+
+    return _fn
 
 
 def read_version(spark: SparkSession, path: str, v: int) -> DataFrame:

@@ -121,3 +121,63 @@ def test_crash_orphan_excluded_and_vacuumed(spark, tmp_path):
 def test_uri_paths_rejected(spark):
     with pytest.raises(ValueError, match="URI path"):
         V.current_version("s3a://bucket/tbl")
+
+
+def test_streaming_exactly_once_complete_mode(spark, tmp_path):
+    """foreach_batch_versioned: a complete-mode aggregation commits one
+    atomic version per trigger (per-trigger history retained), HEAD ends
+    at the batch ground truth, and replaying an already-committed batch
+    id is a no-op — the restart-duplication case Structured Streaming
+    replays force every real sink to handle."""
+    from pyspark.sql import functions as F
+
+    from olap_db_spark.sources.versioned import (
+        committed_batch_ids,
+        foreach_batch_versioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    d1 = spark.createDataFrame([(k % 3, 1) for k in range(9)], "k INT, one INT")
+    d2 = spark.createDataFrame([(k % 3, 1) for k in range(6)], "k INT, one INT")
+    d1.coalesce(1).write.parquet(str(src / "f1.parquet"))
+    d2.coalesce(1).write.parquet(str(src / "f2.parquet"))
+
+    tbl = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema("k INT, one INT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    agg = stream.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(foreach_batch_versioned(tbl))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    head = {(r["k"], r["n"]) for r in V.read_head(spark, tbl).collect()}
+    want = {
+        (r["k"], r["n"])
+        for r in d1.unionAll(d2).groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert head == want
+    vs = V.versions(tbl)
+    assert len(vs) == 2, "one version per trigger"
+    assert committed_batch_ids(tbl) == {0, 1}
+    # per-trigger history: the first version holds the single-file state
+    v1 = {(r["k"], r["n"]) for r in V.read_version(spark, tbl, vs[0]).collect()}
+    assert sum(n for _, n in v1) in (6, 9)
+
+    # replay an already-committed batch id → no new version, head stable
+    fn = foreach_batch_versioned(tbl)
+    fn(V.read_head(spark, tbl), 1)
+    assert V.versions(tbl) == vs
+    assert {(r["k"], r["n"]) for r in V.read_head(spark, tbl).collect()} == want
+    # a genuinely new batch id commits
+    fn(V.read_head(spark, tbl), 7)
+    assert len(V.versions(tbl)) == 3
+    assert committed_batch_ids(tbl) == {0, 1, 7}
