@@ -20,6 +20,15 @@ def _correctness(round_no: int) -> dict:
     return json.loads(p.read_text()) if p.exists() else {}
 
 
+def _rounds() -> list[int]:
+    """Every committed driver round, discovered from the artifact series —
+    hard-coding the list silently froze staleness math at round 6."""
+    return sorted(
+        int(p.stem.split("_r")[1])
+        for p in pathlib.Path(".").glob("CORRECTNESS_r*.json")
+    )
+
+
 def test_priority_names_all_registered():
     """A typo in _PRIORITY would silently drop a query from the driver's
     correctness window instead of failing loudly."""
@@ -36,7 +45,7 @@ def test_priority_has_no_duplicates():
 def _latest_green() -> dict[str, int]:
     """Latest round each query earned a fully-green driver row."""
     latest: dict[str, int] = {}
-    for rnd in (1, 2, 3, 4, 5, 6):
+    for rnd in _rounds():
         for name, rec in _correctness(rnd).items():
             ok = (
                 rec.get("rows_match")
@@ -60,15 +69,15 @@ def test_driver_window_contents():
 
     latest = _latest_green()
     never_checked = {n for n in names if n not in latest}
-    r6 = _correctness(6)
-    r6_bad = {
+    last = _correctness(max(_rounds(), default=0))
+    last_bad = {
         n
-        for n, rec in r6.items()
+        for n, rec in last.items()
         if not (rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"))
     }
     r3_stale = {n for n, rnd in latest.items() if rnd <= 3}
 
-    must_have = r6_bad | never_checked | r3_stale
+    must_have = last_bad | never_checked | r3_stale
     missing = must_have - window
     assert not missing, f"driver window is missing: {sorted(missing)}"
 
