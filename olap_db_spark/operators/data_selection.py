@@ -125,8 +125,10 @@ LIMIT {_DSIR_K}
 
 # Integer-boundary guard for BOTH floor-quantized ln surfaces (per-bucket
 # weight, per-doc Gumbel) — run by tests/test_parity_fuzz.py against
-# adversarial corpora and the real sf0.01 data.
-_GUARD_PRED = "ABS(r - ROUND(r)) < GREATEST(8.8e-16 * ABS(r), 1e-10) AND r <> ROUND(r)"
+# adversarial corpora and the real sf0.01 data. ONE guard band for the
+# whole repo: imported from relevance, never re-declared (tuning the
+# drift band must reach every guard at once).
+from .relevance import _GUARD_PRED  # noqa: E402
 
 DSIR_BOUNDARY_GUARD_SQL = f"""
 WITH {_DSIR_CTES}
@@ -187,22 +189,26 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     gb = grams.select(
         "doc_id",
         "source",
-        (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit("dsir|"), F.col("gram"))), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % _DSIR_BUCKETS
-        ).alias("b"),
+        # the one portable-hash construction in this module (_md5_coin),
+        # not a re-inlined copy that could drift from it
+        _md5_coin("dsir", F.col("gram"), _DSIR_BUCKETS).alias("b"),
     )
 
-    # two map-side-combined hash aggs into O(buckets) state + 1-row totals
+    # two map-side-combined hash aggs into O(buckets) state; the gram
+    # TOTALS come from the ≤1024-row bucket tables (sum of counts), NOT
+    # from separate gb/target.agg() branches — those would replan the
+    # whole corpus-wide gram explode twice more just to produce two
+    # integers (each .agg() on an intermediate frame re-derives its
+    # pipeline from the scan up; see dedup_lsh_eval's 24-scan lesson)
     rc = gb.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
     target = gb.filter(F.col("source") == _DSIR_TARGET_SOURCE)
     tc = target.groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
-    rt = gb.agg(F.count(F.lit(1)).alias("n_r"))
-    tt = target.agg(F.count(F.lit(1)).alias("n_t"))
+    # coalesce is load-bearing: SUM over an EMPTY bucket table is NULL
+    # where the old count() branch gave 0 — a corpus with no target-domain
+    # docs must yield n_t = 0, not NULL-poisoned weights (caught by the
+    # adversarial parity fuzzer, whose corpora have no src0)
+    rt = rc.agg(F.coalesce(F.sum("c_r"), F.lit(0)).alias("n_r"))
+    tt = tc.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
 
     ratio = (
         (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1.0))

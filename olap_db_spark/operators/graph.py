@@ -129,20 +129,30 @@ def _pagerank_df(
         )
     )
     deg = edges0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # degree folded in ONCE, then materialized: every iteration's message
-    # round is a single join against this checkpointed (src,dst,deg) table
-    edges = edges0.join(deg, "src").localCheckpoint()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    # One cheap count over the checkpointed table decides the join strategy
-    # for every iteration (same gate pattern as kmeans auto-k): broadcast
-    # the O(V) rank table while it fits, else shuffle-join it against the
-    # src-partitioned edges so the O(E) side still never moves.
-    n_nodes = nodes.count()
+    # Join-strategy gate BEFORE the checkpoint, so each branch stores the
+    # O(E) table exactly ONCE (the first shape checkpointed it, counted,
+    # then re-checkpointed src-partitioned in the fallback — pinning 2×
+    # the largest table in executor storage for the query lifetime).
+    # The gate needs only an UPPER BOUND on |V|, and two column-pruned
+    # distinct counts bound it without building any edge: every node is a
+    # customer with ≥1 order or a supplier with ≥1 lineitem. Same gate
+    # pattern as kmeans auto-k — broadcast the O(V) rank table while it
+    # fits, else shuffle-join it against src-partitioned edges so the
+    # O(E) side still never moves per iteration.
+    n_nodes = (
+        o.select("o_custkey").distinct().count()
+        + li.select("l_suppkey").distinct().count()
+    )
+    joined = edges0.join(deg, "src")
     if n_nodes <= broadcast_max_nodes:
         rank_side = F.broadcast
+        # degree folded in ONCE, then materialized: every iteration's
+        # message round is one join against this checkpointed table
+        edges = joined.localCheckpoint()
     else:
         rank_side = lambda df: df  # noqa: E731 — AQE plans the shuffle join
-        edges = edges.repartition("src").localCheckpoint()
+        edges = joined.repartition("src").localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
     rank = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     for _ in range(_PR_ITERS):
         contrib = (

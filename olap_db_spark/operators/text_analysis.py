@@ -1049,10 +1049,15 @@ GROUP BY source
 ORDER BY source
 """
 
+# ONE guard band for the whole repo (see relevance._GUARD_PRED) — a
+# re-inlined copy here silently kept a stale band when the shared one
+# was tuned.
+from .relevance import _GUARD_PRED as _KL_GUARD_PRED  # noqa: E402
+
 KL_BOUNDARY_GUARD_SQL = f"""
 WITH {_KL_CTES}
 SELECT source, r FROM raw_terms
-WHERE ABS(r - ROUND(r)) < GREATEST(8.8e-16 * ABS(r), 1e-10) AND r <> ROUND(r)
+WHERE {_KL_GUARD_PRED}
 """
 
 

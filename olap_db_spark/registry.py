@@ -91,7 +91,9 @@ _PRIORITY: tuple[str, ...] = (
     "func_string_family",
     "func_date_family",
     "mm_decode_resize_stats",
-    # Tier 2 — 39 of the 45 rows whose latest green is round 4. The six
+    # Tier 2 — 37 of the 45 rows whose latest green is round 4 (the other
+    # two, window_distribution and window_range_frame, were displaced by
+    # round-7 additions; see the trailing note). The six
     # deferred to round 8 (meta_show_tables, mm_real_decode_stats,
     # mm_video_frame_sample, mm_audio_rms_windows, func_bitwise_family,
     # func_date_arith) are the ones least exposed to the HUGEINT class —

@@ -32,6 +32,14 @@ def counts() -> tuple[int, int, int]:
     m = re.search(r"(\d+) tests? collected", out.stdout)
     if not m:
         raise SystemExit(f"could not parse pytest collection:\n{out.stdout[-2000:]}")
+    # A partially broken suite still prints a count ("N tests collected,
+    # 2 errors" + non-zero exit) — publishing that short count is the
+    # exact drift this tool exists to prevent. Fail loudly instead.
+    if out.returncode != 0 or re.search(r"\d+ errors?\b", out.stdout):
+        raise SystemExit(
+            f"pytest collection unhealthy (rc={out.returncode}):\n"
+            f"{out.stdout[-2000:]}"
+        )
     return n_queries, n_oracled, int(m.group(1))
 
 
