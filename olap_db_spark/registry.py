@@ -66,86 +66,79 @@ _LOADED = False
 # order); everything else follows in registration order.
 #
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-7 WINDOW (first 50 reach the driver) — stale-row rotation.
-    # Round 6 went 50/50 green, so this window is the r6 VERDICT's #1 ask:
-    # re-check the 56 rows whose latest driver green predates round 5 (and
-    # therefore predates the HUGEINT-cast fix + the driver's arrow-fetch
-    # change — the exact class that silently flapped in r4/r5).
+    # ROUND-8 WINDOW (first 50 reach the driver) — stale-row rotation.
+    # Rounds 6 and 7 both went 50/50 green, so this window executes the r7
+    # VERDICT's #1 ask: the 12 rows whose latest driver green is round 4,
+    # then the 42 rows whose latest green is round 5 filling the remaining
+    # slots (ordered so the most defer-tolerant rows sit last — they are
+    # the ones displaced past slot 50 as new round-8 queries claim their
+    # never-checked slots at the top).
     #
-    # Tier 0 — NEW in round 7, never driver-checked.
-    "sim_hybrid_rrf_ivf",
-    "text_dsir_select",
-    "dedup_cluster_best",
-    "dedup_lsh_eval",
-    "dedup_incremental",
-    "text_domain_cap",
-    # Tier 1 — the 11 rows whose latest green is round 3.
-    "agg_quantiles",
-    "agg_rollup",
-    "window_ranking",
-    "window_running_sum",
-    "window_lag_lead",
-    "func_url_normalize",
-    "func_split_key_epoch",
-    "func_explode_wordcount",
-    "func_string_family",
-    "func_date_family",
-    "mm_decode_resize_stats",
-    # Tier 2 — 37 of the 45 rows whose latest green is round 4 (the other
-    # two, window_distribution and window_range_frame, were displaced by
-    # round-7 additions; see the trailing note). The six
-    # deferred to round 8 (meta_show_tables, mm_real_decode_stats,
-    # mm_video_frame_sample, mm_audio_rms_windows, func_bitwise_family,
-    # func_date_arith) are the ones least exposed to the HUGEINT class —
-    # metadata / deterministic-synth multimodal / pure scalar shapes with
-    # no integer SUM in the oracle — and all pass the local arrow-fetch
-    # parity run (tools/drive_contract.py).
-    "agg_approx_count_distinct",
-    "agg_argmax_family",
-    "agg_histogram",
-    "agg_hll_mergeable",
-    "agg_ohlc_hourly",
-    "agg_percentile_approx",
-    "agg_pivot",
-    "agg_string_agg",
-    "agg_topk_per_key",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "dedup_keep_latest",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "func_json_extract",
-    "func_regexp_family",
-    "fuzzy_levenshtein_match",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q19_brand_band_revenue",
-    "scale_interval_bucket_join",
-    "sim_ann_lsh",
-    "sim_ivf_search",
-    "sim_knn_bruteforce",
-    "sim_pq_search",
-    "text_contamination_check",
-    "text_pack_sequences",
-    "text_tfidf_topterms",
-    "ts_asof_prior_click",
-    "ts_cohort_retention",
-    "ts_daily_rollup",
-    "ts_funnel",
-    "ts_gap_fill",
-    "ts_session_window",
-    "ts_sliding_window",
+    # Tier 0 — NEW in round 8, never driver-checked.
+    # (new registrations are prepended here as they land)
+    # Tier 1 — the 12 rows whose latest green is round 4.
+    "window_range_frame",
+    "window_distribution",
+    "meta_show_tables",
     "ts_tumbling_window",
-    # window_distribution and window_range_frame (both r4) roll to round 8
-    # — displaced by the two new round-7 queries (never-checked queries
-    # take precedence over stale-green rotation; see
-    # tests/test_registry.py::test_driver_window_contents). Likewise
-    # ts_gap_fill, ts_session_window, ts_sliding_window and
-    # ts_tumbling_window (all r4, above): they stay listed for round-8
-    # ordering but fall past slot 50 this round, displaced by the six
-    # never-checked round-7 queries (dedup_cluster_best, dedup_lsh_eval,
-    # dedup_incremental, text_domain_cap and the two above).
+    "ts_sliding_window",
+    "ts_session_window",
+    "ts_gap_fill",
+    "mm_real_decode_stats",
+    "mm_audio_rms_windows",
+    "mm_video_frame_sample",
+    "func_bitwise_family",
+    "func_date_arith",
+    # Tier 2 — the 42 rows whose latest green is round 5. Integer-SUM /
+    # join-heavy shapes first (most exposed to driver-side arrow/HUGEINT
+    # drift); the trailing four (meta_select_one: constant literal row;
+    # sample_bernoulli / sample_stratified: content-addressed coins under
+    # a 5-sigma pytest contract; scale_zorder_layout: layout property,
+    # plan-gated in pytest) are the least drift-exposed and defer past
+    # slot 50 — they rotate in round 9 along with whatever new round-8
+    # queries displace.
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q18_large_volume_orders",
+    "q20_promotion_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "agg_basic_stats",
+    "agg_corr_covar",
+    "agg_count_min_sketch",
+    "agg_median_exact",
+    "agg_sum_map",
+    "dedup_exact",
+    "join_asof_nearest",
+    "scale_bloom_semi_join",
+    "scale_repartition_agg",
+    "scale_salted_skew_join",
+    "sim_ivf_centroids",
+    "text_bm25_search",
+    "text_token_count_bpe",
+    "text_doc_chunking",
+    "text_domain_mixture",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_ngram_topk",
+    "text_pii_redact",
+    "text_quality_filter",
+    "text_quality_signals",
+    "text_stats_by_lang",
+    "ts_sequence_match",
+    "ts_user_lifetime",
+    "mm_binary_features",
+    "func_math_family",
+    "meta_select_one",
+    "sample_bernoulli",
+    "sample_stratified",
+    "scale_zorder_layout",
 )
 
 

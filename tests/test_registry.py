@@ -60,31 +60,38 @@ def _latest_green() -> dict[str, int]:
 
 def test_driver_window_contents():
     """The first 50 queries() entries (the driver's correctness window)
-    must contain every round-7 target: every red/err query from round 6
-    (none expected), every query never driver-checked (new this round),
-    and — the r6 VERDICT's #1 ask — the stalest green rows first: all 11
-    r3-stale rows plus r4-stale rows filling the remaining slots."""
+    must contain every current-round target: every red/err query from the
+    latest driver round (none expected), every query never driver-checked
+    (new this round), and the stalest green rows first — nothing already
+    fresh may hold a slot while stale rows wait outside. The thresholds
+    below self-derive from the CORRECTNESS artifact series, so this test
+    starts failing the moment a new driver round lands without a window
+    rotation (by design: the rotation is each round's first commit)."""
     names = list(registry.all_queries())
     window = set(names[:50])
 
     latest = _latest_green()
     never_checked = {n for n in names if n not in latest}
-    last = _correctness(max(_rounds(), default=0))
+    latest_round = max(_rounds(), default=0)
+    last = _correctness(latest_round)
     last_bad = {
         n
         for n, rec in last.items()
         if not (rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"))
     }
-    r3_stale = {n for n, rnd in latest.items() if rnd <= 3}
+    # Rows 4+ rounds stale are unconditionally due (at round 7 this was the
+    # r3-and-older set); the window MUST carry them along with every red row
+    # and every never-checked registration.
+    hard_stale = {n for n, rnd in latest.items() if rnd <= latest_round - 4}
 
-    must_have = last_bad | never_checked | r3_stale
+    must_have = last_bad | never_checked | hard_stale
     missing = must_have - window
     assert not missing, f"driver window is missing: {sorted(missing)}"
 
-    # every remaining slot goes to stale rotation: nothing already green
-    # at r5+ may occupy a window slot while r4-stale rows wait
-    fresh_in_window = {n for n in window if latest.get(n, 0) >= 5}
-    stale_outside = {n for n, rnd in latest.items() if rnd <= 4} - window
+    # every remaining slot goes to stale rotation: nothing green within the
+    # last two rounds may occupy a window slot while 3+-rounds-stale rows wait
+    fresh_in_window = {n for n in window if latest.get(n, 0) >= latest_round - 2}
+    stale_outside = {n for n, rnd in latest.items() if rnd <= latest_round - 3} - window
     assert not (fresh_in_window and stale_outside), (
         f"window wastes slots on fresh rows {sorted(fresh_in_window)} while "
         f"stale rows wait: {sorted(stale_outside)}"
