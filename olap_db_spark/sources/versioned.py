@@ -1,12 +1,12 @@
 """Versioned parquet sink with an atomic HEAD pointer — the minimal
 snapshot / time-travel / rollback surface a production table needs,
-expressed with nothing but immutable directories and one atomic rename
-(the commit model a table format implements, minus the manifest log).
+expressed with nothing but immutable directories and one atomic pointer
+swap (the commit model a table format implements, minus the manifest log).
 
 The reference's ingest pipeline overwrites ClickHouse tables in place
 (`/root/reference/ingest.py`, `ranking_urls_ingestor.py`) — a failed
 half-ingest leaves the table unreadable until re-run. Spark-first, the
-same ingest becomes: write the WHOLE new state as an immutable version
+same ingest becomes: write the new state as an immutable version
 directory, then atomically swap a one-line HEAD pointer. Readers resolve
 HEAD once and only ever read immutable files, so they get snapshot
 isolation for free; a crashed writer leaves an orphan directory, never a
@@ -14,154 +14,248 @@ broken table; "undo last ingest" is a pointer swap, not a restore.
 
 Layout::
 
-    <path>/_HEAD                 one line: the current version number
-    <path>/_versions/v=N/*.parquet   immutable; never rewritten
+    <path>/_HEAD                      one line: the committed-version
+                                      chain in commit order; the last
+                                      entry is the current version
+    <path>/_versions/v=N/*.parquet    immutable; never rewritten
+    <path>/_versions/v=N/_MANIFEST    (append-delta versions only) the
+                                      version's full file list — its own
+                                      new files plus every parent file
+
+Commit model: the pointer file records the COMMITTED CHAIN, not just the
+tip. ``versions()`` / ``committed_batch_ids()`` / ``vacuum()`` all read
+the chain, so a version abandoned by ``rollback`` — or a crashed writer's
+orphan directory — can never re-enter history when later commits raise
+the head number past it (it stays on disk, readable via ``read_version``
+for forensics, until ``vacuum`` reclaims it).
+
+Two write modes:
+
+- ``snapshot_write`` — the version directory holds the WHOLE table
+  (pair with streaming ``outputMode("complete")``).
+- ``append_write`` — manifest-lite deltas: the version directory holds
+  only the NEW files, and ``_MANIFEST`` lists parent files + new files,
+  so a version read is still one bounded file-list scan and commit cost
+  is O(new data), not O(table). This is what exactly-once streaming
+  APPEND mode needs — a 100 TB table cannot rewrite itself per trigger.
 
 100 TB notes: the swap is O(1) metadata regardless of data volume; every
 version directory is write-once (object-store friendly — no
 read-modify-write of existing objects); ``vacuum`` bounds storage to the
-last K versions. On a real cluster the pointer swap routes through the
-storage's atomic primitive (HDFS rename, S3 conditional PUT) — here it
-is ``os.replace``, and URI-schemed paths are rejected loudly rather than
-half-working (same contract as ``writers.compact_partitions``).
+last K versions plus whatever their manifests still reference. Paths may
+be plain local paths or URI-schemed (``file://``, ``hdfs://``,
+``s3a://``): URI paths route every control-plane operation through the
+Hadoop FileSystem API (``sources/_fs.py``), where the pointer swap is a
+write-then-rename (atomic for fresh names on HDFS; S3 production would
+use a conditional PUT — see ``_fs._HadoopFS.write_text_atomic``).
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
+
+from olap_db_spark.sources._fs import fs_for
 
 _HEAD = "_HEAD"
 _VERSIONS = "_versions"
 _BATCH = "_SPARK_BATCH"
-
-
-def _check_local(path: str) -> str:
-    if "://" in path:
-        raise ValueError(
-            "versioned sink uses local-OS atomic rename for the HEAD swap; "
-            f"URI path {path!r} needs the storage's atomic primitive "
-            "(HDFS rename / S3 conditional PUT) wired in instead."
-        )
-    return path.rstrip("/")
+_MANIFEST = "_MANIFEST"
 
 
 def _vdir(base: str, v: int) -> str:
-    return os.path.join(base, _VERSIONS, f"v={v:08d}")
+    return f"{base.rstrip('/')}/{_VERSIONS}/v={v:08d}"
+
+
+def _read_chain(path: str) -> list[int]:
+    """The committed chain from the pointer file, commit order (strictly
+    increasing by construction: a new commit always numbers above every
+    existing directory). Missing pointer → no commits."""
+    fs = fs_for(path)
+    try:
+        text = fs.read_text(f"{path.rstrip('/')}/{_HEAD}")
+    except FileNotFoundError:
+        return []
+    return [int(tok) for tok in text.split()]
+
+
+def _write_chain(path: str, chain: list[int]) -> None:
+    fs = fs_for(path)
+    fs.write_text_atomic(
+        f"{path.rstrip('/')}/{_HEAD}", " ".join(str(v) for v in chain)
+    )
+
+
+def _list_version_dirs(path: str) -> list[int]:
+    """Every version directory on disk — committed, orphaned, or
+    abandoned — for collision-free numbering and vacuum sweeps."""
+    fs = fs_for(path)
+    vroot = f"{path.rstrip('/')}/{_VERSIONS}"
+    if not fs.exists(vroot):
+        return []
+    return sorted(
+        int(e[2:]) for e in fs.listdir(vroot) if e.startswith("v=")
+    )
+
+
+def _data_files(path: str, v: int) -> list[str]:
+    """Relative paths (under ``_versions/``) of version ``v``'s parquet
+    files — from its manifest when it has one (append-delta version),
+    else its own directory listing (snapshot version)."""
+    fs = fs_for(path)
+    vdir = _vdir(path, v)
+    try:
+        manifest = fs.read_text(f"{vdir}/{_MANIFEST}")
+        return [line for line in manifest.splitlines() if line]
+    except FileNotFoundError:
+        pass
+    return [
+        f"v={v:08d}/{name}"
+        for name in fs.listdir(vdir)
+        if name.endswith(".parquet") and not name.startswith((".", "_"))
+    ]
 
 
 def versions(path: str) -> list[int]:
-    """Version numbers in CURRENT history (≤ HEAD), ascending.
-    Directories above HEAD — crashed writers that never swapped the
-    pointer, or versions abandoned by a rollback — are excluded: commit
-    is the pointer swap, not the write, and a rollback rewrites history
-    the way the one-line pointer model can express. Above-HEAD data
+    """Version numbers in CURRENT history, ascending. The pointer file
+    records the committed chain explicitly, so directories outside it —
+    crashed writers that never swapped the pointer, or versions abandoned
+    by a rollback — are excluded even after later commits number past
+    them: commit is the pointer swap, not the write. Out-of-history data
     stays on disk (readable via ``read_version`` for forensics) until
     ``vacuum`` reclaims it."""
-    base = _check_local(path)
-    head = current_version(path)
-    if head is None:
-        return []
-    vroot = os.path.join(base, _VERSIONS)
-    out = []
-    for entry in os.listdir(vroot):
-        if entry.startswith("v="):
-            v = int(entry[2:])
-            if v <= head:
-                out.append(v)
-    return sorted(out)
+    return _read_chain(path)
 
 
 def current_version(path: str) -> int | None:
-    base = _check_local(path)
-    try:
-        with open(os.path.join(base, _HEAD)) as fh:
-            return int(fh.read().strip())
-    except FileNotFoundError:
-        return None
+    chain = _read_chain(path)
+    return chain[-1] if chain else None
+
+
+def _commit(path: str, v: int, batch_id: int | None) -> None:
+    """Shared commit tail: stamp the optional batch marker INSIDE the
+    version directory (so it becomes visible atomically with the data),
+    then swap the pointer — the commit point."""
+    fs = fs_for(path)
+    if batch_id is not None:
+        fs.write_text(f"{_vdir(path, v)}/{_BATCH}", str(batch_id))
+    _write_chain(path, _read_chain(path) + [v])
+
+
+def _next_version(path: str) -> int:
+    # next = max over ALL version directories (committed, orphaned, or
+    # abandoned-by-rollback) + 1 — HEAD+1 would collide with the
+    # still-present directory of a rolled-back or crashed write.
+    return max(_list_version_dirs(path), default=0) + 1
 
 
 def snapshot_write(
     spark: SparkSession, df: DataFrame, path: str, batch_id: int | None = None
 ) -> int:
-    """Commit ``df`` as the next version: write an immutable version
-    directory, then atomically swap HEAD. A reader holding the old HEAD
-    keeps reading the old (untouched) files; a crash before the swap
-    leaves an orphan directory and the table still serves the prior
-    version.
+    """Commit ``df`` as the next version holding the WHOLE table state:
+    write an immutable version directory, then atomically swap the
+    pointer. A reader holding the old HEAD keeps reading the old
+    (untouched) files; a crash before the swap leaves an orphan directory
+    and the table still serves the prior version.
 
     ``batch_id`` tags the version with a streaming micro-batch id (written
-    INSIDE the version directory before the swap, so it commits or
+    inside the version directory before the swap, so it commits or
     vanishes atomically with the data) — the idempotency token
     ``foreach_batch_versioned`` uses for exactly-once commits."""
-    base = _check_local(path)
-    vroot = os.path.join(base, _VERSIONS)
-    os.makedirs(vroot, exist_ok=True)
-    # next = max over ALL version directories (committed, orphaned, or
-    # abandoned-by-rollback) + 1 — HEAD+1 would collide with the
-    # still-present directory of a rolled-back or crashed write.
-    existing = [int(e[2:]) for e in os.listdir(vroot) if e.startswith("v=")]
-    v = max(existing, default=0) + 1
-    df.write.mode("error").parquet(_vdir(base, v))
-    if batch_id is not None:
-        with open(os.path.join(_vdir(base, v), _BATCH), "w") as fh:
-            fh.write(str(batch_id))
-            fh.flush()
-            os.fsync(fh.fileno())
-    tmp = os.path.join(base, f".{_HEAD}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, os.path.join(base, _HEAD))  # the commit point
+    fs = fs_for(path)
+    fs.mkdirs(f"{path.rstrip('/')}/{_VERSIONS}")
+    v = _next_version(path)
+    df.write.mode("error").parquet(_vdir(path, v))
+    _commit(path, v, batch_id)
+    return v
+
+
+def append_write(
+    spark: SparkSession, df: DataFrame, path: str, batch_id: int | None = None
+) -> int:
+    """Commit ``df`` as an APPEND-DELTA version: the new directory holds
+    only ``df``'s files, and the version's ``_MANIFEST`` lists the parent
+    version's full file set plus the new files. Readers of the new
+    version scan exactly the manifest; readers of older versions are
+    untouched. Commit cost is O(new data) — the shape a continuously
+    appended 100 TB table needs, where ``snapshot_write`` per trigger
+    would rewrite the world.
+
+    The manifest is written inside the version directory BEFORE the
+    pointer swap, so it commits or vanishes atomically with the data."""
+    fs = fs_for(path)
+    fs.mkdirs(f"{path.rstrip('/')}/{_VERSIONS}")
+    parent = current_version(path)
+    parent_files = _data_files(path, parent) if parent is not None else []
+    v = _next_version(path)
+    vdir = _vdir(path, v)
+    df.write.mode("error").parquet(vdir)
+    own = [
+        f"v={v:08d}/{name}"
+        for name in fs.listdir(vdir)
+        if name.endswith(".parquet") and not name.startswith((".", "_"))
+    ]
+    fs.write_text(f"{vdir}/{_MANIFEST}", "\n".join(parent_files + own))
+    _commit(path, v, batch_id)
     return v
 
 
 def committed_batch_ids(path: str) -> set[int]:
-    """Micro-batch ids whose versions are COMMITTED (≤ HEAD). A batch
-    whose directory landed but whose pointer swap didn't is absent —
-    replaying it re-commits, which is exactly right."""
-    base = _check_local(path)
+    """Micro-batch ids whose versions are COMMITTED (in the chain). A
+    batch whose directory landed but whose pointer swap didn't is absent
+    — replaying it re-commits, which is exactly right."""
+    fs = fs_for(path)
     out = set()
-    for v in versions(path):
+    for v in _read_chain(path):
         try:
-            with open(os.path.join(_vdir(base, v), _BATCH)) as fh:
-                out.add(int(fh.read().strip()))
+            out.add(int(fs.read_text(f"{_vdir(path, v)}/{_BATCH}").strip()))
         except FileNotFoundError:
             pass
     return out
 
 
-def foreach_batch_versioned(path: str):
+def foreach_batch_versioned(path: str, mode: str = "snapshot"):
     """Exactly-once streaming sink: ``writeStream.foreachBatch(...)``
     handler that commits each micro-batch as one atomic version and
     SKIPS batch ids already committed — Structured Streaming replays the
     in-flight micro-batch after a restart, and without an idempotency
     check every restart would duplicate it. The batch-id marker rides
     inside the version directory, so it becomes visible atomically with
-    the data at the HEAD swap: crash before swap → marker invisible →
+    the data at the pointer swap: crash before swap → marker invisible →
     replay re-commits; crash after swap → marker visible → replay
     no-ops. State is the table itself — no side ledger to drift.
 
-    Versions are WHOLE-TABLE snapshots, so pair this with
-    ``outputMode("complete")`` (or any per-trigger full-state result —
-    e.g. the continuously maintained KL-drift / count-state monitors in
-    ``streaming/``): each trigger atomically replaces the serving table
-    AND retains the full per-trigger history for time travel."""
+    ``mode="snapshot"`` pairs with ``outputMode("complete")`` (each
+    trigger's version IS the whole table — e.g. the continuously
+    maintained KL-drift / count-state monitors in ``streaming/``);
+    ``mode="append"`` pairs with ``outputMode("append")`` and commits
+    each trigger as a manifest-lite delta (``append_write``), so the
+    per-trigger cost is the new rows, never the table."""
+    if mode not in ("snapshot", "append"):
+        raise ValueError(f"mode must be 'snapshot' or 'append', got {mode!r}")
+    write = snapshot_write if mode == "snapshot" else append_write
 
     def _fn(df: DataFrame, batch_id: int) -> None:
         if batch_id in committed_batch_ids(path):
             return
-        snapshot_write(df.sparkSession, df, path, batch_id=batch_id)
+        write(df.sparkSession, df, path, batch_id=batch_id)
 
     return _fn
 
 
 def read_version(spark: SparkSession, path: str, v: int) -> DataFrame:
-    base = _check_local(path)
-    return spark.read.parquet(_vdir(base, v))
+    """Read one version: its manifest's file list when it has one
+    (append-delta), else its directory (snapshot). Either way the scan
+    is over immutable files only."""
+    files = _data_files(path, v)
+    vroot = f"{path.rstrip('/')}/{_VERSIONS}"
+    fs = fs_for(path)
+    if not files:
+        # empty version (e.g. an append of zero rows): preserve schema by
+        # reading the version directory itself
+        return spark.read.parquet(_vdir(path, v))
+    if not fs.exists(_vdir(path, v)):
+        raise FileNotFoundError(f"version {v} not found at {path}")
+    return spark.read.parquet(*[f"{vroot}/{rel}" for rel in files])
 
 
 def read_head(spark: SparkSession, path: str) -> DataFrame:
@@ -175,42 +269,46 @@ def read_head(spark: SparkSession, path: str) -> DataFrame:
 
 
 def rollback(path: str, v: int) -> int:
-    """Point HEAD back at an earlier committed version — O(1) undo of a
-    bad ingest; no data moves, the abandoned version stays readable (and
-    vacuumable) for forensics."""
-    base = _check_local(path)
-    if v not in versions(path):
+    """Truncate the committed chain back to ``v`` — O(1) undo of a bad
+    ingest; no data moves, the abandoned versions stay readable (and
+    vacuumable) for forensics, and — because the chain is recorded, not
+    inferred from directory numbers — they can never re-enter
+    ``versions()`` / ``committed_batch_ids()`` when later commits number
+    past them."""
+    chain = _read_chain(path)
+    if v not in chain:
         raise ValueError(f"version {v} is not committed at {path}")
-    tmp = os.path.join(base, f".{_HEAD}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, os.path.join(base, _HEAD))
+    _write_chain(path, chain[: chain.index(v) + 1])
     return v
 
 
 def vacuum(path: str, keep: int = 2) -> list[int]:
-    """Delete version directories beyond the newest ``keep`` committed
-    versions. The HEAD version is never deleted even if it is old (a
-    rolled-back table keeps serving); orphans above HEAD are removed too
-    (crashed writers) — so don't run vacuum concurrently with an
+    """Delete version directories not needed by the newest ``keep``
+    committed versions. "Needed" includes manifest references: an
+    append-delta version keeps every ancestor directory its manifest
+    still points into, so vacuum can never break a kept version's read.
+    Out-of-chain directories (crashed writers, rollback-abandoned
+    versions) are reclaimed — so don't run vacuum concurrently with an
     in-flight commit, the one scheduling constraint this model has.
-    Returns the deleted version numbers."""
-    base = _check_local(path)
-    head = current_version(path)
-    if head is None:
+    The chain is truncated to the kept versions. Returns the deleted
+    version numbers, ascending."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1 (the head always survives), got {keep}")
+    chain = _read_chain(path)
+    if not chain:
         return []
-    committed = versions(path)
-    keep_set = set(committed[-keep:]) | {head}
-    vroot = os.path.join(base, _VERSIONS)
+    kept = chain[-keep:]
+    needed = set(kept)
+    for v in kept:
+        for rel in _data_files(path, v):
+            needed.add(int(rel.split("/", 1)[0][2:]))
+    fs = fs_for(path)
     deleted = []
-    for entry in sorted(os.listdir(vroot)):
-        if not entry.startswith("v="):
+    for v in _list_version_dirs(path):
+        if v in needed:
             continue
-        v = int(entry[2:])
-        if v in keep_set:
-            continue
-        shutil.rmtree(os.path.join(vroot, entry))
+        fs.delete(_vdir(path, v))
         deleted.append(v)
+    if kept != chain:
+        _write_chain(path, kept)
     return deleted

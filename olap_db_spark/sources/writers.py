@@ -271,13 +271,15 @@ def delete_where(
     fully_deleted = [p for p in touched if p not in kept]
     with _dynamic_overwrite(spark):
         survivors.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    import shutil as _shutil
+    from olap_db_spark.sources._fs import fs_for
 
+    fs = fs_for(path)
     for p in fully_deleted:
         part_dir = (
-            f"{path}/{partition_col}=" + ("__HIVE_DEFAULT_PARTITION__" if p is None else str(p))
+            f"{path.rstrip('/')}/{partition_col}="
+            + ("__HIVE_DEFAULT_PARTITION__" if p is None else str(p))
         )
-        _shutil.rmtree(part_dir, ignore_errors=True)
+        fs.delete(part_dir)
     return touched
 
 
@@ -299,71 +301,89 @@ def compact_partitions(
     A partition is rewritten only when its file count exceeds
     ``ceil(partition_bytes / target_bytes)`` — the file count its data
     volume actually needs; each rewritten partition is coalesced to
-    exactly that many files via dynamic partition overwrite. Untouched
-    partitions stay byte-identical on disk, rows are never changed, and
-    re-running converges: a re-run is a no-op unless merging improved
-    compression enough to cross a ``target_bytes`` multiple (dictionary
-    pages dedup better in one file), in which case at most one more
-    rewrite settles the layout. File inventory comes from a driver-side
-    directory listing — control-plane metadata, the same role a table
-    format's manifest plays; on an object store this is one LIST per
-    partition prefix (Hadoop FileSystem API on a real cluster; plain-OS
-    listing here, and a URI-schemed path is REJECTED rather than
-    silently reported as already-compact — the delete_where/shutil
-    lesson).
+    exactly that many files. Untouched partitions stay byte-identical on
+    disk, rows are never changed, and re-running converges: a re-run is a
+    no-op unless merging improved compression enough to cross a
+    ``target_bytes`` multiple (dictionary pages dedup better in one
+    file), in which case at most one more rewrite settles the layout.
+    File inventory comes from a driver-side listing — control-plane
+    metadata, the same role a table format's manifest plays; one LIST per
+    partition prefix, via the local OS for plain paths or the Hadoop
+    FileSystem API for URI-schemed ones (``sources/_fs.py``), so
+    object-store tables compact with the same code.
+
+    Each rewrite is STAGE-AND-SWAP: the coalesced partition streams into
+    a dot-prefixed staging directory (invisible to table scans), then the
+    live partition directory is swapped out by two renames. Memory stays
+    bounded at any partition size — the rewrite is an ordinary streaming
+    write, never a pinned ``localCheckpoint`` of the whole partition —
+    and the data files never contain the partition column, so the
+    partition directory name (and hence the column's inferred type) is
+    untouched. The swap window is two renames; a crash inside it leaves
+    the old partition parked in ``.compact_bak``, and the next
+    ``compact_partitions`` run RESTORES any partition whose backup exists
+    without a live directory before doing new work. Like the dynamic
+    partition overwrite it replaces, the swap is not atomic for
+    concurrent readers — maintenance jobs run against a quiesced table
+    (a table format's commit log is the upgrade for live swaps).
 
     Returns the list of compacted partition values (as directory-encoded
     strings)."""
     import math
-    import os
 
-    if "://" in path:
-        raise ValueError(
-            "compact_partitions lists files via the local OS; "
-            f"URI path {path!r} would silently report nothing to compact. "
-            "Route object-store tables through the Hadoop FileSystem API."
-        )
+    from olap_db_spark.sources._fs import fs_for
+
+    fs = fs_for(path)
     base = path.rstrip("/")
-    todo: list[tuple[str, int]] = []  # (partition value string, want)
-    if not os.path.isdir(base):
+    if not fs.isdir(base):
         return []
+    stage_root = f"{base}/.compact_tmp"
+    bak_root = f"{base}/.compact_bak"
     prefix = f"{partition_col}="
-    for entry in sorted(os.listdir(base)):
-        pdir = os.path.join(base, entry)
-        if not (entry.startswith(prefix) and os.path.isdir(pdir)):
+
+    # Crash recovery: a backup without a live partition directory means a
+    # prior run died between its two swap renames — restore it first.
+    if fs.isdir(bak_root):
+        for entry in fs.listdir(bak_root):
+            live = f"{base}/{entry}"
+            if entry.startswith(prefix) and not fs.exists(live):
+                fs.rename(f"{bak_root}/{entry}", live)
+        fs.delete(bak_root)
+    fs.delete(stage_root)
+
+    todo: list[tuple[str, int]] = []  # (partition value string, want)
+    for entry in fs.listdir(base):
+        pdir = f"{base}/{entry}"
+        if not (entry.startswith(prefix) and fs.isdir(pdir)):
             continue
         files = [
-            os.path.join(pdir, f)
-            for f in os.listdir(pdir)
-            if f.endswith(".parquet")
+            f"{pdir}/{f}"
+            for f in fs.listdir(pdir)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
         ]
-        total = sum(os.path.getsize(f) for f in files)
+        total = sum(fs.getsize(f) for f in files)
         want = max(1, math.ceil(total / target_bytes))
         if len(files) > want:
-            todo.append((entry[len(prefix):], want))
+            todo.append((entry, want))
     if not todo:
         return []
     compacted = []
-    with _dynamic_overwrite(spark):
-        for pval, want in todo:
-            # One pruned scan per fragmented partition; coalesce (not
-            # repartition) — no shuffle, readers just concatenate splits.
-            part = spark.read.parquet(f"{base}/{partition_col}={pval}")
-            # Directory names are Hive-%-escaped; the column value is not.
-            from urllib.parse import unquote
-
-            value = (
-                None if pval == "__HIVE_DEFAULT_PARTITION__" else unquote(pval)
-            )
-            rewritten = (
-                part.withColumn(
-                    partition_col, F.lit(value).cast("string")
-                )
-                .coalesce(want)
-                .localCheckpoint()  # the overwrite must not read its own source
-            )
-            rewritten.write.mode("overwrite").partitionBy(partition_col).parquet(
-                base
-            )
-            compacted.append(pval)
+    for entry, want in todo:
+        # One pruned scan per fragmented partition; coalesce (not
+        # repartition) — no shuffle, readers just concatenate splits. The
+        # staged write reads the old files while writing the new ones —
+        # distinct directories, so no read-own-source and no pinning.
+        live = f"{base}/{entry}"
+        staged = f"{stage_root}/{entry}"
+        spark.read.parquet(live).coalesce(want).write.mode(
+            "error"
+        ).parquet(staged)
+        fs.delete(f"{staged}/_SUCCESS")
+        fs.mkdirs(bak_root)
+        fs.rename(live, f"{bak_root}/{entry}")  # swap out…
+        fs.rename(staged, live)  # …swap in (crash here → recovery above)
+        fs.delete(f"{bak_root}/{entry}")
+        compacted.append(entry[len(prefix):])
+    fs.delete(stage_root)
+    fs.delete(bak_root)
     return compacted

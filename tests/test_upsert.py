@@ -235,12 +235,65 @@ def test_compact_partitions_respects_target_bytes(spark, tmp_path):
     assert n_before == 4
 
 
-def test_compact_partitions_rejects_uri_paths(spark):
-    """A URI-schemed path must fail loudly, not report 'already compact'
-    (the OS-listing inventory can't see object stores)."""
-    import pytest as _pytest
+def test_compact_partitions_on_file_uri(spark, tmp_path):
+    """The same compaction contract against a URI-schemed path — file
+    inventory, staging and the directory swap route through the Hadoop
+    FileSystem API (file:// is the sandbox's object-store stand-in)."""
+    from olap_db_spark.sources.writers import compact_partitions
+
+    path = "file://" + str(tmp_path / "uri_tbl")
+    for b in range(6):
+        spark.createDataFrame(
+            [(1, b * 10 + i) for i in range(20)], "day INT, v INT"
+        ).coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+    spark.createDataFrame(
+        [(2, i) for i in range(20)], "day INT, v INT"
+    ).coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+
+    before_rows = {
+        (r["day"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    local = str(tmp_path / "uri_tbl")
+    assert len(glob.glob(os.path.join(local, "day=1", "*.parquet"))) == 6
+    day2_before = _files_state(os.path.join(local, "day=2"))
+
+    assert compact_partitions(spark, path, "day") == ["1"]
+    assert len(glob.glob(os.path.join(local, "day=1", "*.parquet"))) == 1
+    assert {
+        (r["day"], r["v"]) for r in spark.read.parquet(path).collect()
+    } == before_rows
+    assert _files_state(os.path.join(local, "day=2")) == day2_before
+    assert compact_partitions(spark, path, "day") == []
+
+
+def test_compact_partitions_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves the old partition
+    parked in .compact_bak with no live directory; the next run must
+    restore it before doing new work — no data loss, layout unchanged."""
+    import shutil
 
     from olap_db_spark.sources.writers import compact_partitions
 
-    with _pytest.raises(ValueError, match="URI path"):
-        compact_partitions(spark, "s3a://bucket/tbl", "day")
+    path = str(tmp_path / "tbl")
+    for b in range(4):
+        spark.createDataFrame(
+            [(1, b * 10 + i) for i in range(10)], "day INT, v INT"
+        ).coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+    before_rows = {
+        (r["day"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    # simulate the crash window: partition swapped out, new one never in
+    os.makedirs(os.path.join(path, ".compact_bak"), exist_ok=True)
+    shutil.move(
+        os.path.join(path, "day=1"),
+        os.path.join(path, ".compact_bak", "day=1"),
+    )
+    assert not os.path.exists(os.path.join(path, "day=1"))
+
+    compacted = compact_partitions(spark, path, "day")
+    assert compacted == ["1"], "recovered partition not re-seen/compacted"
+    assert {
+        (r["day"], r["v"]) for r in spark.read.parquet(path).collect()
+    } == before_rows, "crash recovery lost rows"
+    assert not os.path.exists(os.path.join(path, ".compact_bak"))
+    assert not os.path.exists(os.path.join(path, ".compact_tmp"))

@@ -118,9 +118,188 @@ def test_crash_orphan_excluded_and_vacuumed(spark, tmp_path):
     assert V.vacuum(path, keep=1) == [2], "orphan not cleaned"
 
 
-def test_uri_paths_rejected(spark):
-    with pytest.raises(ValueError, match="URI path"):
-        V.current_version("s3a://bucket/tbl")
+def test_rolled_back_versions_never_reenter_history(spark, tmp_path):
+    """The pointer file records the committed CHAIN, so versions abandoned
+    by a rollback stay out of versions()/committed_batch_ids()/vacuum's
+    keep-window even after later commits number past them — the
+    'commit is the pointer swap / rollback rewrites history' invariant."""
+    path = str(tmp_path / "tbl")
+    for i, val in enumerate(("a", "b", "c")):
+        V.snapshot_write(
+            spark,
+            spark.createDataFrame([(1, val)], "k INT, val STRING"),
+            path,
+            batch_id=i,
+        )
+    V.rollback(path, 1)
+    v = V.snapshot_write(
+        spark,
+        spark.createDataFrame([(1, "d")], "k INT, val STRING"),
+        path,
+        batch_id=9,
+    )
+    assert v == 4, "new commit must number above the abandoned directories"
+    # v2/v3 must NOT reappear now that HEAD (4) is past them
+    assert V.versions(path) == [1, 4]
+    assert V.committed_batch_ids(path) == {0, 9}, (
+        "abandoned versions' batch markers re-entered history"
+    )
+    # vacuum's keep-window counts committed history only: keep=2 keeps
+    # {1, 4} and reclaims the abandoned 2 and 3
+    assert V.vacuum(path, keep=2) == [2, 3]
+    assert V.versions(path) == [1, 4]
+    assert _rows(V.read_head(spark, path)) == {(1, "d")}
+
+
+def test_crashed_writer_batch_marker_stays_invisible(spark, tmp_path):
+    """A pre-swap crash leaves a version directory WITH a batch marker;
+    later commits numbering past it must not make that marker visible —
+    else a streaming replay of the crashed batch would wrongly no-op."""
+    import os as _os
+
+    path = str(tmp_path / "tbl")
+    V.snapshot_write(
+        spark,
+        spark.createDataFrame([(1, "a")], "k INT, val STRING"),
+        path,
+        batch_id=0,
+    )
+    # simulate: batch 1's directory + marker landed, pointer swap didn't
+    orphan = _os.path.join(path, "_versions", "v=00000002")
+    spark.createDataFrame([(9, "x")], "k INT, val STRING").write.parquet(orphan)
+    with open(_os.path.join(orphan, "_SPARK_BATCH"), "w") as fh:
+        fh.write("1")
+    V.snapshot_write(
+        spark,
+        spark.createDataFrame([(1, "c")], "k INT, val STRING"),
+        path,
+        batch_id=2,
+    )
+    assert V.committed_batch_ids(path) == {0, 2}, (
+        "crashed writer's batch marker became visible"
+    )
+    # so the exactly-once handler correctly REPLAYS batch 1
+    fn = V.foreach_batch_versioned(path)
+    fn(spark.createDataFrame([(1, "b")], "k INT, val STRING"), 1)
+    assert V.committed_batch_ids(path) == {0, 1, 2}
+
+
+def test_vacuum_keep_must_be_positive(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    V.snapshot_write(
+        spark, spark.createDataFrame([(1, "a")], "k INT, val STRING"), path
+    )
+    with pytest.raises(ValueError, match="keep must be >= 1"):
+        V.vacuum(path, keep=0)
+
+
+def test_append_delta_versions(spark, tmp_path):
+    """append_write: each version's directory holds only the NEW files;
+    its manifest makes the version read cumulative; older versions stay
+    byte-identical; vacuum keeps ancestor directories a kept manifest
+    still references."""
+    path = str(tmp_path / "tbl")
+    for v, val in enumerate(("a", "b", "c"), start=1):
+        got = V.append_write(
+            spark,
+            spark.createDataFrame([(v, val)], "k INT, val STRING"),
+            path,
+        )
+        assert got == v
+    assert V.versions(path) == [1, 2, 3]
+    # cumulative reads: version N serves the first N appends
+    assert _rows(V.read_version(spark, path, 2)) == {(1, "a"), (2, "b")}
+    assert _rows(V.read_head(spark, path)) == {(1, "a"), (2, "b"), (3, "c")}
+    before = _state(path)
+    V.append_write(
+        spark, spark.createDataFrame([(4, "d")], "k INT, val STRING"), path
+    )
+    v3_files = {f: s for f, s in _state(path).items() if "v=00000003" in f}
+    assert v3_files == {f: s for f, s in before.items() if "v=00000003" in f}
+    # vacuum(keep=1) keeps HEAD=4 — whose manifest references v1..v4's
+    # directories — so NOTHING is deletable and the head still reads whole
+    assert V.vacuum(path, keep=1) == []
+    assert _rows(V.read_head(spark, path)) == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    }
+    assert V.versions(path) == [4], "vacuum must still truncate the chain"
+    # a snapshot rewrite (e.g. a compaction job) breaks the ancestry:
+    # the next vacuum reclaims every no-longer-referenced delta directory
+    V.snapshot_write(spark, V.read_head(spark, path), path)
+    assert V.vacuum(path, keep=1) == [1, 2, 3, 4]
+    assert _rows(V.read_head(spark, path)) == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    }
+
+
+def test_streaming_exactly_once_append_mode(spark, tmp_path):
+    """foreach_batch_versioned(mode='append'): an append-mode stream
+    commits each trigger as a manifest-lite delta — per-trigger cost is
+    the new rows, HEAD reads serve the cumulative table, and replaying a
+    committed batch id is a no-op."""
+    src = tmp_path / "src"
+    src.mkdir()
+    d1 = spark.createDataFrame([(k, "x") for k in range(5)], "k INT, val STRING")
+    d2 = spark.createDataFrame([(k, "y") for k in range(5, 8)], "k INT, val STRING")
+    d1.coalesce(1).write.parquet(str(src / "f1.parquet"))
+    d2.coalesce(1).write.parquet(str(src / "f2.parquet"))
+
+    tbl = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema("k INT, val STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(V.foreach_batch_versioned(tbl, mode="append"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert _rows(V.read_head(spark, tbl)) == _rows(d1.unionAll(d2))
+    assert len(V.versions(tbl)) == 2, "one delta version per trigger"
+    assert V.committed_batch_ids(tbl) == {0, 1}
+    # replay → no new version; new batch id → appends on top
+    fn = V.foreach_batch_versioned(tbl, mode="append")
+    fn(d2, 1)
+    assert len(V.versions(tbl)) == 2
+    fn(spark.createDataFrame([(99, "z")], "k INT, val STRING"), 7)
+    assert _rows(V.read_head(spark, tbl)) == _rows(d1.unionAll(d2)) | {(99, "z")}
+    with pytest.raises(ValueError, match="mode must be"):
+        V.foreach_batch_versioned(tbl, mode="overwrite")
+
+
+def test_versioned_sink_on_file_uri(spark, tmp_path):
+    """The same commit/rollback/vacuum contracts against a URI-schemed
+    path — control-plane operations route through the Hadoop FileSystem
+    API (the sandbox's closest object-store stand-in is file://)."""
+    path = "file://" + str(tmp_path / "uri_tbl")
+    for val in ("a", "b", "c"):
+        V.snapshot_write(
+            spark,
+            spark.createDataFrame([(1, val)], "k INT, val STRING"),
+            path,
+        )
+    assert V.current_version(path) == 3
+    assert V.versions(path) == [1, 2, 3]
+    assert _rows(V.read_head(spark, path)) == {(1, "c")}
+    assert _rows(V.read_version(spark, path, 1)) == {(1, "a")}
+    V.rollback(path, 2)
+    assert _rows(V.read_head(spark, path)) == {(1, "b")}
+    assert V.snapshot_write(
+        spark, spark.createDataFrame([(1, "d")], "k INT, val STRING"), path
+    ) == 4
+    assert V.versions(path) == [1, 2, 4]
+    assert V.vacuum(path, keep=1) == [1, 2, 3]
+    assert _rows(V.read_head(spark, path)) == {(1, "d")}
+    # append-delta over the URI path too (manifest read/write via Hadoop FS)
+    V.append_write(
+        spark, spark.createDataFrame([(2, "e")], "k INT, val STRING"), path
+    )
+    assert _rows(V.read_head(spark, path)) == {(1, "d"), (2, "e")}
 
 
 def test_streaming_exactly_once_complete_mode(spark, tmp_path):
