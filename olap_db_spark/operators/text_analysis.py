@@ -10,6 +10,8 @@ agg, the cheapest shape Spark has.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -951,7 +953,12 @@ def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- per-domain document caps (C4 / RefinedWeb-style) ------------------------
 
 _CAP_K = 10  # kept docs per source
-_CAP_SALTS = 4  # phase-1 sub-partitions per source
+# Phase-1 sizing target: rows one task's window sort may hold. The salt
+# count derives from it: salts = ceil(max_domain_rows / this) — so the
+# hottest domain's phase-1 sort is bounded per task no matter how skewed
+# the corpus (at the 100 TB design point, one domain at 1% of a 5e10-row
+# corpus derives ~500 salts instead of a fixed handful).
+_CAP_TARGET_TASK_ROWS = 1_000_000
 
 _DOMAIN_CAP_ORACLE = f"""
 SELECT source, doc_id, n_tokens, CAST(rnk AS BIGINT) AS rnk
@@ -967,44 +974,71 @@ WHERE rnk <= {_CAP_K}
 """
 
 
-@register("text_domain_cap", oracle=_DOMAIN_CAP_ORACLE, tags=("text", "sample"))
-def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain document caps: keep at most K docs per source, best
-    first (longest; ties → lowest doc_id) — the curation step that stops
-    one hot domain from dominating the training mix (C4 capped URLs per
-    host; RefinedWeb caps per-domain contributions).
+def domain_top_k(
+    d: DataFrame, k: int = _CAP_K, salts: int | None = None
+) -> DataFrame:
+    """Salted two-phase per-domain top-K over a ``(source, doc_id,
+    n_tokens)`` frame — best first (most tokens; ties → lowest doc_id).
 
     Scale shape: a single window over ``source`` would hash one ENTIRE
     domain into one task — and web-crawl domains are exactly where key
     skew lives (one host can be 1% of the corpus). So top-K runs in two
     bounded phases: (1) row_number within (source, salt) where
-    salt = doc_id % {_CAP_SALTS}, keeping ≤ K per sub-partition — per-task
-    rows ≈ |domain|/{_CAP_SALTS}, tunable to any skew; (2) row_number
-    within source over the ≤ {_CAP_SALTS}·K survivors. Phase 1 can never
-    drop a final winner (every global top-K row ranks ≤ K inside its own
-    salt), so the result is row-identical to the direct single-window
-    form the oracle computes — the tie-break on unique doc_id makes the
-    order total, hence the equality exact, not approximate."""
-    d = load(spark, sf_dir, "documents").select(
-        "source",
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
-    )
+    salt = doc_id % salts, keeping ≤ k per sub-partition — per-task rows
+    ≈ |domain|/salts; (2) row_number within source over the ≤ salts·k
+    survivors. Phase 1 can never drop a final winner (every global top-k
+    row ranks ≤ k inside its own salt), so the result is row-identical
+    to the direct single-window form FOR ANY salts ≥ 1 — the tie-break
+    on unique doc_id makes the order total, hence the equality exact,
+    not approximate (asserted across salt settings in
+    tests/test_northstar.py).
+
+    Sizing rule (``salts=None``, the default): one skew-safe pre-count —
+    a map-side-combinable groupBy whose output is one row per domain —
+    measures the hottest domain, and
+    ``salts = ceil(max_domain_rows / _CAP_TARGET_TASK_ROWS)`` bounds
+    phase 1's per-task sort at the target no matter the skew (the same
+    derive-from-data discipline as kmeans auto-k). Callers that already
+    know their skew pass ``salts`` explicitly and skip the pre-count."""
+    if salts is None:
+        mx = (
+            d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+        salts = max(1, math.ceil((mx or 0) / _CAP_TARGET_TASK_ROWS))
     order = [F.col("n_tokens").desc(), F.col("doc_id")]
     w1 = Window.partitionBy(
-        "source", (F.col("doc_id") % _CAP_SALTS).alias("salt")
+        "source", (F.col("doc_id") % salts).alias("salt")
     ).orderBy(*order)
     survivors = (
         d.withColumn("pre", F.row_number().over(w1))
-        .filter(F.col("pre") <= _CAP_K)
+        .filter(F.col("pre") <= k)
         .drop("pre")
     )
     w2 = Window.partitionBy("source").orderBy(*order)
     return (
         survivors.withColumn("rnk", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rnk") <= _CAP_K)
+        .filter(F.col("rnk") <= k)
         .select("source", "doc_id", "n_tokens", "rnk")
     )
+
+
+@register("text_domain_cap", oracle=_DOMAIN_CAP_ORACLE, tags=("text", "sample"))
+def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps: keep at most K docs per source, best
+    first (longest; ties → lowest doc_id) — the curation step that stops
+    one hot domain from dominating the training mix (C4 capped URLs per
+    host; RefinedWeb caps per-domain contributions). The salted two-phase
+    plan, its salt-count sizing rule, and the row-identity argument live
+    in ``domain_top_k``."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    return domain_top_k(d, _CAP_K)
 
 
 # --- per-source KL divergence from the corpus distribution -------------------
