@@ -356,8 +356,7 @@ _BAND_UNION_SQL = "\nUNION ALL\n".join(
     for b in range(_BANDS)
 )
 
-_MINHASH_ORACLE = f"""
-WITH corpus AS ({_CORPUS_SQL}),
+_MINHASH_CTES = f"""corpus AS ({_CORPUS_SQL}),
 shingled AS ({_SHINGLES_SQL}),
 sigs AS (
   SELECT doc_id, {_SIGS_SQL}
@@ -380,7 +379,10 @@ verified AS (
   FROM candidates c
   JOIN shingled sa ON sa.doc_id = c.doc_a
   JOIN shingled sb ON sb.doc_id = c.doc_b
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
 
@@ -955,6 +957,21 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     2–3 rounds of joins over a shrinking edge set.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cc = _star_contraction(pairs)
+    return cc.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).cast("int").alias("is_keeper"),
+    )
+
+
+def _star_contraction(pairs: DataFrame) -> DataFrame:
+    """Alternating large-star / small-star contraction over a
+    ``(doc_a, doc_b)`` pair frame → one ``(doc_id, component)`` row per
+    node that has at least one edge (component = the node-id minimum).
+    Shared by ``dedup_components`` (exact-Jaccard graph) and
+    ``dedup_minhash_groups`` (MinHash-LSH graph); the convergence and
+    scale arguments live on ``dedup_components``."""
     # Materialize the canonical (u < v) edge list ONCE; localCheckpoint
     # truncates lineage so each round's work is done exactly once.
     edges = (
@@ -1016,7 +1033,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sig = sig
     if not converged:
         raise RuntimeError(
-            "dedup_components did not converge within the round bound; "
+            "star contraction did not converge within the round bound; "
             "raise the bound for graphs with larger component diameters"
         )
     # Converged edge set = stars (u = component min, v = member).
@@ -1028,11 +1045,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u").alias("doc_id"), F.col("u").alias("component")
         )
     )
-    return members.unionAll(centers).select(
-        "doc_id",
-        "component",
-        (F.col("doc_id") == F.col("component")).cast("int").alias("is_keeper"),
-    )
+    return members.unionAll(centers)
 
 
 # --- canonical-representative selection per duplicate cluster ----------------
@@ -1101,6 +1114,74 @@ def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.col("w.n_tokens").alias("best_tokens"),
         (F.col("tot") - F.col("w.n_tokens")).alias("dropped_tokens"),
+    )
+
+
+# --- group-emitting MinHash dedup (the linear-output production route) --------
+
+_MINHASH_GROUPS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+jm AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jm
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jm
+),
+reach(node, m) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.m
+),
+comp AS (
+  SELECT node, LEAST(node, MIN(m)) AS component FROM reach GROUP BY node
+),
+sized AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM comp GROUP BY component
+)
+SELECT c.node AS doc_id, c.component AS group_id, s.group_size,
+       CAST(CASE WHEN c.node = c.component THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+FROM comp c JOIN sized s ON s.component = c.component
+"""
+
+
+@register("dedup_minhash_groups", oracle=_MINHASH_GROUPS_ORACLE, tags=("dedup", "northstar"))
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup with GROUP output — the production default at
+    scale: LSH candidates → exact-Jaccard verify (≥ 0.5) → star-contraction
+    connected components → one ``(doc_id, group_id, group_size,
+    is_keeper)`` row per duplicated document.
+
+    Why this exists alongside ``dedup_minhash_lsh``: the pair-emitting
+    form's OUTPUT grows ~quadratically in per-document clone count (the
+    sf10 probe measured 99× for 100× rows on the replica corpus — true
+    pair-set growth, not plan decay), while the group form emits one row
+    per member: O(duplicated docs), linear by construction. A curation
+    pipeline acts on keep/drop lists, not pair lists, so the linear form
+    is what actually runs at 100 TB; the pair form remains the
+    measurement/debug surface (``dedup_lsh_eval``).
+
+    Scale shape: candidate generation is the shared banded equi-join
+    (never all-pairs); verification touches candidate pairs only; the CC
+    fixpoint is the same log(diameter)-round star contraction as
+    ``dedup_components`` over an edge set that dedup graphs keep tiny
+    (cliques contract in 2–3 rounds); group sizes are one hash aggregate
+    on the component key joined back to O(duplicated docs) rows."""
+    sh = _shingled(_dup_corpus(spark, sf_dir))
+    pairs = (
+        _candidate_jaccard(_lsh_candidates(sh), sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    cc = _star_contraction(pairs)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return cc.join(sizes, "component").select(
+        "doc_id",
+        F.col("component").alias("group_id"),
+        "group_size",
+        (F.col("doc_id") == F.col("component")).cast("int").alias("is_keeper"),
     )
 
 

@@ -51,17 +51,31 @@ WHERE rn <= {_K}
 """
 
 
-@register("sim_knn_bruteforce", oracle=_KNN_ORACLE, tags=("similarity", "northstar"))
-def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for query vectors (vec_id < 5).
-
-    The query side is broadcast — the big vector table is scanned once,
-    never shuffled; top-k per query via window on the (small) scored set.
-    Ties break on neighbor_id so the result is total-ordered."""
-    e = load(spark, sf_dir, "embeddings")
-    q = e.select("vec_id", quantize(F.col("embedding")).alias("qv")).withColumn(
+def _quantized(e: DataFrame) -> DataFrame:
+    """Shared upstream frame for every vector route: fixed-point
+    quantized embedding + its exact integer norm."""
+    return e.select("vec_id", quantize(F.col("embedding")).alias("qv")).withColumn(
         "n2", norm2_q(F.col("qv"))
     )
+
+
+def _topk_per_query(scored: DataFrame) -> DataFrame:
+    """Exact top-_K per query over an already-scored candidate stream
+    (ties break on neighbor_id → total order)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+def _knn_topk(q: DataFrame) -> DataFrame:
+    """Exact brute-force route over a ``_quantized`` frame — extracted so
+    composing queries (``sim_ivf_eval``) share the upstream frame instead
+    of rebuilding the corpus subtree (round-7 lesson)."""
     queries = q.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qv_q"),
@@ -82,14 +96,17 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _K)
-        .select("query_id", "neighbor_id", "cos_sim")
-    )
+    return _topk_per_query(scored)
+
+
+@register("sim_knn_bruteforce", oracle=_KNN_ORACLE, tags=("similarity", "northstar"))
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 5).
+
+    The query side is broadcast — the big vector table is scanned once,
+    never shuffled; top-k per query via window on the (small) scored set.
+    Ties break on neighbor_id so the result is total-ordered."""
+    return _knn_topk(_quantized(load(spark, sf_dir, "embeddings")))
 
 
 # --- LSH ANN ---------------------------------------------------------------------
@@ -245,14 +262,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         cosine_q(dot_q(F.col("qv_q"), F.col("qv_c")), F.col("n2_q"), F.col("n2_c")),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _K)
-        .select("query_id", "neighbor_id", "cos_sim")
-    )
+    return _topk_per_query(scored)
 
 
 # --- centroid/IVF-style coarse quantizer ---------------------------------------------
@@ -386,13 +396,16 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregate per iteration (k·dim ints to the driver); the
     search is an equi-join on the routed cluster id — scanned data drops
     by (nprobe / k)."""
-    e = load(spark, sf_dir, "embeddings")
+    return _ivf_topk(spark, sf_dir, _quantized(load(spark, sf_dir, "embeddings")))
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, q0: DataFrame) -> DataFrame:
+    """IVF route over a shared ``_quantized`` frame: k-means assignment
+    join, integer-MEAN centroids, nprobe routing, exact re-rank within
+    probed cells. Extracted (like ``_knn_topk``) so ``sim_ivf_eval``
+    composes both routes off one upstream frame."""
     assigned = kmeans_fit_assign(spark, sf_dir)
-    q = (
-        e.select("vec_id", quantize(F.col("embedding")).alias("qv"))
-        .join(assigned, "vec_id")
-        .withColumn("n2", norm2_q(F.col("qv")))
-    )
+    q = q0.join(assigned, "vec_id")
     # exact integer MEAN centroid per k-means cluster (truncating DIV —
     # components bounded by the quantization scale, so the centroid norm
     # can never overflow int64 at any cluster size; mirrors the oracle's
@@ -443,14 +456,123 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_q(dot_q(F.col("qv_q"), F.col("qv_c")), F.col("n2_q"), F.col("n2_c")),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+    return _topk_per_query(scored)
+
+
+# --- measured IVF recall (the dedup_lsh_eval pattern on the vector side) ----------
+
+_IVF_EVAL_ORACLE = f"""
+WITH {sql_kmeans_assign()},
+n AS (SELECT vec_id, cluster, qv, {sql_dot('qv', 'qv')} AS n2 FROM assign{_KM_ITERS}),
+pos AS (SELECT cluster, unnest(qv) AS v, unnest(range(0, {_DIM})) AS d
+        FROM assign{_KM_ITERS}),
+cent AS (
+  SELECT cluster, list(sv ORDER BY d) AS cv, {sql_dot('list(sv ORDER BY d)', 'list(sv ORDER BY d)')} AS cn2
+  FROM (SELECT cluster, d, CAST(SUM(v) AS BIGINT) // COUNT(*) AS sv FROM pos GROUP BY cluster, d) t
+  GROUP BY cluster
+),
+routed AS (
+  SELECT vec_id, cluster AS probe_cluster FROM (
+    SELECT qs.vec_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY qs.vec_id
+             ORDER BY {sql_cosine(sql_dot('qs.qv', 'c.cv'), 'qs.n2', 'c.cn2')} DESC,
+                      c.cluster) AS rn
+    FROM n qs CROSS JOIN cent c
+    WHERE qs.vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_NPROBE}
+),
+iscored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sql_cosine(sql_dot('qs.qv', 'c.qv'), 'qs.n2', 'c.n2')} AS cos_sim
+  FROM routed r
+  JOIN n qs ON qs.vec_id = r.vec_id
+  JOIN n c  ON c.cluster = r.probe_cluster AND c.vec_id <> qs.vec_id
+),
+ivf AS (
+  SELECT query_id, neighbor_id, 1 AS in_i
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM iscored) t
+  WHERE rn <= {_K}
+),
+tscored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sql_cosine(sql_dot('qs.qv', 'c.qv'), 'qs.n2', 'c.n2')} AS cos_sim
+  FROM n qs JOIN n c ON c.vec_id <> qs.vec_id
+  WHERE qs.vec_id < {_N_QUERIES}
+),
+truth AS (
+  SELECT query_id, neighbor_id, 1 AS in_t
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM tscored) t
+  WHERE rn <= {_K}
+)
+SELECT query_id,
+       CAST(COUNT(in_t) AS BIGINT) AS n_truth,
+       CAST(COUNT(in_i) AS BIGINT) AS n_ivf,
+       CAST(COUNT(CASE WHEN in_t IS NOT NULL AND in_i IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit,
+       CAST(COUNT(CASE WHEN in_t IS NOT NULL AND in_i IS NULL THEN 1 END) AS BIGINT) AS missed,
+       CAST(CASE WHEN COUNT(in_t) = 0 THEN 0
+            ELSE (COUNT(CASE WHEN in_t IS NOT NULL AND in_i IS NOT NULL THEN 1 END) * 1000000)
+                 // COUNT(in_t) END AS BIGINT) AS recall_micro
+FROM truth FULL JOIN ivf USING (query_id, neighbor_id)
+GROUP BY query_id
+"""
+
+
+@register("sim_ivf_eval", oracle=_IVF_EVAL_ORACLE, tags=("similarity", "eval"))
+def sim_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN quality — the ``dedup_lsh_eval`` pattern applied to
+    the vector side: per-query recall@k=5 of the IVF route
+    (``_ivf_topk``: k-means cells, integer-MEAN centroids, nprobe=4)
+    against the exact brute-force truth (``_knn_topk``), as integer
+    micros via truncating DIV (Spark ``DIV`` ≡ DuckDB ``//`` on
+    non-negatives) — so the quality/speed trade of the ANN index is a
+    measured artifact, not a docstring claim.
+
+    One row per query: n_truth / n_ivf (both = _K by construction,
+    asserted as identities in tests), n_hit (IVF results that are true
+    top-k neighbors), missed (= n_truth − n_hit), recall_micro.
+
+    Scale shape: both routes share ONE ``_quantized`` upstream frame
+    (never rebuilt per route — the round-7 composition lesson); the
+    comparison is a single full-outer equi-join on the (query, neighbor)
+    pair key with every count folded from that one joined stream in one
+    map-side-combinable aggregate — no scalar-count branches re-deriving
+    the search pipelines. The truth route is O(|queries|·N) with the
+    vector table scanned once and never shuffled — the measurement
+    price, exactly as in ``dedup_lsh_eval``, is the point of the query."""
+    q0 = _quantized(load(spark, sf_dir, "embeddings"))
+    truth = _knn_topk(q0).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_t")
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _K)
-        .select("query_id", "neighbor_id", "cos_sim")
+    ivf = _ivf_topk(spark, sf_dir, q0).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_i")
     )
+    j = truth.join(ivf, ["query_id", "neighbor_id"], "full_outer")
+    hit = F.col("in_t").isNotNull() & F.col("in_i").isNotNull()
+    lost = F.col("in_t").isNotNull() & F.col("in_i").isNull()
+    per = j.groupBy("query_id").agg(
+        F.count("in_t").alias("n_truth"),
+        F.count("in_i").alias("n_ivf"),
+        F.count(F.when(hit, 1)).alias("n_hit"),
+        F.count(F.when(lost, 1)).alias("missed"),
+    )
+    return per.select(
+        "query_id",
+        "n_truth",
+        "n_ivf",
+        "n_hit",
+        "missed",
+        F.expr(
+            "CAST(CASE WHEN n_truth = 0 THEN 0"
+            " ELSE n_hit * 1000000 DIV n_truth END AS BIGINT)"
+        ).alias("recall_micro"),
+    )
+
+
 # --- product quantization (PQ) ANN -----------------------------------------------
 
 _PQ_M = 8  # subspaces

@@ -310,6 +310,27 @@ _FLAGSHIP_CHECKS = {
         ("no global sort", "!Sort [n_tokens"),
         ("pruned scan", "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
     ],
+    # round-8: group-emitting MinHash dedup (the linear-output route)
+    "dedup_minhash_groups": [
+        # group sizes are one map-side-combinable hash aggregate joined
+        # back on the component key; the CC fixpoint work sits behind a
+        # localCheckpoint, and nothing downstream may fall back to a
+        # pairwise blow-up
+        ("group sizes as hash aggregate", "partial_count"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    # round-8: measured ANN recall
+    "sim_ivf_eval": [
+        # every per-query count folds out of ONE full-outer pair join in
+        # one map-side-combinable aggregate — no scalar-count branches
+        # re-deriving the search pipelines (the dedup_lsh_eval lesson);
+        # the BroadcastNestedLoopJoins inside ARE the two routes' intended
+        # shapes (non-equi broadcast of the tiny query side), so unlike
+        # lsh_eval they are not banned here
+        ("single-pass recall counts", "partial_count"),
+        ("one full-outer pair compare", "FullOuter"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
 }
 
 

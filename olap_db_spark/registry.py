@@ -75,7 +75,8 @@ _PRIORITY: tuple[str, ...] = (
     # never-checked slots at the top).
     #
     # Tier 0 — NEW in round 8, never driver-checked.
-    # (new registrations are prepended here as they land)
+    "sim_ivf_eval",
+    "dedup_minhash_groups",
     # Tier 1 — the 12 rows whose latest green is round 4.
     "window_range_frame",
     "window_distribution",

@@ -4,6 +4,8 @@ dup-pair detection, determinism across partitionings."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from olap_db_spark.operators.fuzzy_dedup import (
@@ -67,6 +69,35 @@ def test_ivf_kmeans_search_recall(spark):
     recalls = [len(bf[q] & ivf.get(q, set())) / len(bf[q]) for q in bf]
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.6, f"k-means IVF recall too low: {mean:.2f} ({recalls})"
+
+
+def test_ivf_eval_identities_and_recall(spark):
+    """sim_ivf_eval contract: both routes return exactly K rows per query
+    (n_truth == n_ivf == 5), the counts satisfy n_hit + missed == n_truth,
+    recall_micro is the truncating-DIV micro ratio, the per-query recalls
+    agree with an independently computed set intersection of the two
+    registered routes, and the measured mean recall stays at the ≥ 0.6
+    floor the recall tests have asserted since round 2."""
+    from olap_db_spark.operators.similarity import sim_ivf_eval, sim_ivf_search
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["query_id"]: r for r in sim_ivf_eval(spark, sf).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    for q, r in rows.items():
+        assert r["n_truth"] == 5 and r["n_ivf"] == 5, r
+        assert r["n_hit"] + r["missed"] == r["n_truth"], r
+        assert r["recall_micro"] == r["n_hit"] * 1_000_000 // r["n_truth"], r
+    # cross-check against the independently composed routes
+    bf: dict[int, set[int]] = {}
+    for r in sim_knn_bruteforce(spark, sf).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf: dict[int, set[int]] = {}
+    for r in sim_ivf_search(spark, sf).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q in bf:
+        assert rows[q]["n_hit"] == len(bf[q] & ivf.get(q, set())), q
+    mean = sum(r["recall_micro"] for r in rows.values()) / len(rows) / 1e6
+    assert mean >= 0.6, f"measured IVF recall too low: {mean:.2f}"
 
 
 def test_pq_search_recall_vs_exact_l2(spark, duck):
@@ -408,6 +439,46 @@ def test_cluster_best_is_exact_argmax_over_components(spark):
         assert row["dropped_tokens"] == sum(toks[m] for m in ms) - mx
 
 
+def test_minhash_groups_partition_pair_graph(spark):
+    """dedup_minhash_groups contract: the group rows are exactly the
+    connected components of the registered pair route — every
+    dedup_minhash_lsh pair lands inside one group, each group id is its
+    member minimum (that member flagged keeper), group_size counts
+    members, and no singleton groups exist."""
+    from olap_db_spark.operators.fuzzy_dedup import (
+        dedup_minhash_groups,
+        dedup_minhash_lsh,
+    )
+
+    groups: dict[int, int] = {}
+    sizes: dict[int, int] = {}
+    keepers: set[int] = set()
+    for r in dedup_minhash_groups(spark, SF).collect():
+        groups[r["doc_id"]] = r["group_id"]
+        sizes[r["group_id"]] = r["group_size"]
+        if r["is_keeper"]:
+            keepers.add(r["doc_id"])
+    assert groups, "dup corpus must produce groups"
+    # every verified LSH pair is intra-group (CC can only merge further)
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, SF).collect()
+    ]
+    assert pairs
+    for a, b in pairs:
+        assert groups[a] == groups[b], (a, b)
+    # group id = member min, exactly that member is the keeper
+    members: dict[int, list[int]] = {}
+    for d, g in groups.items():
+        members.setdefault(g, []).append(d)
+    for g, ms in members.items():
+        assert g == min(ms)
+        assert sizes[g] == len(ms)
+        assert len(ms) >= 2, "singleton group emitted"
+    assert keepers == set(members), "keeper flags must mark the minima"
+    # linear-output claim: rows = duplicated docs, never pair count
+    assert len(groups) <= 2 * len(pairs)
+
+
 def test_lsh_eval_identities_and_recall(spark):
     """dedup_lsh_eval contract: the confusion counts partition exactly
     (tp + missed = truth, tp + beyond_blocking = verified) and on the
@@ -494,3 +565,54 @@ def test_domain_cap_equals_direct_topk(spark):
         for r in text_domain_cap(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_domain_top_k_salt_invariance_on_skew(spark):
+    """domain_top_k's row-identity claim, exercised where it matters: a
+    skewed corpus (one domain holds ~90% of rows) must produce IDENTICAL
+    rows at every salt setting — explicit 1 / 4 / 7 and the derived
+    default — including rank ties broken across salt boundaries."""
+    from olap_db_spark.operators.text_analysis import (
+        _CAP_TARGET_TASK_ROWS,
+        domain_top_k,
+    )
+
+    rows = []
+    # hot.example: 900 docs, many token-count TIES so phase-1 boundaries
+    # are adversarial; two cold domains with < K docs each
+    for i in range(900):
+        rows.append(("hot.example", i, i % 7))
+    for i in range(5):
+        rows.append(("cold-a", 1000 + i, 100 + i))
+    for i in range(3):
+        rows.append(("cold-b", 2000 + i, 50))
+    d = spark.createDataFrame(
+        rows, "source STRING, doc_id LONG, n_tokens LONG"
+    )
+
+    def run(salts):
+        return {
+            (r["source"], r["doc_id"], r["n_tokens"], r["rnk"])
+            for r in domain_top_k(d, 10, salts=salts).collect()
+        }
+
+    single_window = run(1)  # salts=1 IS the direct single-window form
+    assert run(4) == single_window
+    assert run(7) == single_window
+    assert run(None) == single_window, "derived-salt path diverged"
+    # contract sanity on the skewed domain: 10 best with sequential ranks
+    hot = sorted(
+        (t for t in single_window if t[0] == "hot.example"),
+        key=lambda t: t[3],
+    )
+    assert [t[3] for t in hot] == list(range(1, 11))
+    assert all(t[2] == 6 for t in hot), "not the max-token docs"
+    assert [t[1] for t in hot] == sorted(t[1] for t in hot), (
+        "ties must break by lowest doc_id in rank order"
+    )
+    # cold domains keep everything, ranks 1..n
+    assert sum(1 for t in single_window if t[0] == "cold-a") == 5
+    assert sum(1 for t in single_window if t[0] == "cold-b") == 3
+    # sizing rule: the derive is ceil(max_domain/target); at 900 rows it
+    # must stay 1 (no pointless salting of small data)
+    assert math.ceil(900 / _CAP_TARGET_TASK_ROWS) <= 1
