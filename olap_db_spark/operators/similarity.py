@@ -584,8 +584,7 @@ _PQ_SUBD2 = (
     "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2])))"
 )
 
-_PQ_ORACLE = f"""
-WITH q AS (
+_PQ_CTES = f"""q AS (
   SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
 ),
 seeds AS (SELECT vec_id FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_PQ_CODES}),
@@ -636,7 +635,10 @@ rerank AS (
   FROM shortlist s
   JOIN q qq ON qq.vec_id = s.query_id
   JOIN q nq ON nq.vec_id = s.neighbor_id
-)
+)"""
+
+_PQ_ORACLE = f"""
+WITH {_PQ_CTES}
 SELECT query_id, neighbor_id, l2_d2
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY l2_d2, neighbor_id) AS rn
@@ -676,6 +678,13 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.6 in tests/test_northstar.py."""
     e = load(spark, sf_dir, "embeddings")
     q = e.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    return _pq_topk(spark, q)
+
+
+def _pq_topk(spark: SparkSession, q: DataFrame) -> DataFrame:
+    """PQ route over a ``(vec_id, qv)`` frame — extracted (like
+    ``_knn_topk``/``_ivf_topk``) so ``sim_pq_eval`` composes it against
+    the exact-L2 truth off one shared upstream frame."""
     # codebook: the _PQ_CODES md5-smallest vec_ids (tiny driver collect —
     # this is index BUILD; the searched data never reaches the driver)
     seed_ids = [
@@ -743,4 +752,103 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank.withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= _K)
         .select("query_id", "neighbor_id", "l2_d2")
+    )
+
+
+# --- measured PQ recall (the sim_ivf_eval twin on the L2 metric) ------------------
+
+
+def _l2_topk(q: DataFrame) -> DataFrame:
+    """Exact squared-L2 brute-force top-_K over a ``(vec_id, qv)`` frame
+    — the ground truth the PQ route approximates (queries broadcast, the
+    vector table scanned once, never shuffled)."""
+    qq = q.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qv_q")
+    )
+    nn = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qv_n"))
+    scored = (
+        F.broadcast(qq)
+        .join(nn, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("l2_d2", _pq_subd2(F.col("qv_q"), F.col("qv_n")))
+    )
+    w = Window.partitionBy("query_id").orderBy("l2_d2", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _K)
+        .select("query_id", "neighbor_id", "l2_d2")
+    )
+
+
+_PQ_EVAL_ORACLE = f"""
+WITH {_PQ_CTES},
+pq AS (
+  SELECT query_id, neighbor_id, 1 AS in_p
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY l2_d2, neighbor_id) AS rn
+        FROM rerank) t
+  WHERE rn <= {_K}
+),
+tscored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST({_PQ_SUBD2.format(a='a.qv', b='b.qv')} AS BIGINT) AS l2_d2
+  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < {_N_QUERIES}
+),
+truth AS (
+  SELECT query_id, neighbor_id, 1 AS in_t
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY l2_d2, neighbor_id) AS rn
+        FROM tscored) t
+  WHERE rn <= {_K}
+)
+SELECT query_id,
+       CAST(COUNT(in_t) AS BIGINT) AS n_truth,
+       CAST(COUNT(in_p) AS BIGINT) AS n_pq,
+       CAST(COUNT(CASE WHEN in_t IS NOT NULL AND in_p IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit,
+       CAST(COUNT(CASE WHEN in_t IS NOT NULL AND in_p IS NULL THEN 1 END) AS BIGINT) AS missed,
+       CAST(CASE WHEN COUNT(in_t) = 0 THEN 0
+            ELSE (COUNT(CASE WHEN in_t IS NOT NULL AND in_p IS NOT NULL THEN 1 END) * 1000000)
+                 // COUNT(in_t) END AS BIGINT) AS recall_micro
+FROM truth FULL JOIN pq USING (query_id, neighbor_id)
+GROUP BY query_id
+"""
+
+
+@register("sim_pq_eval", oracle=_PQ_EVAL_ORACLE, tags=("similarity", "eval"))
+def sim_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured PQ quality — ``sim_ivf_eval``'s twin on the L2 metric:
+    per-query recall@5 of the PQ route (``_pq_topk``: 8×16 codebooks,
+    ADC shortlist 50, exact re-rank) against the exact squared-L2
+    brute-force truth (``_l2_topk``), as integer micros via truncating
+    DIV. Together the two eval queries make the quality/speed trade of
+    BOTH ANN indexes (IVF on cosine, PQ on L2) measured artifacts.
+
+    Same single-pass shape as ``sim_ivf_eval``: one shared quantized
+    upstream frame, one full-outer equi-join on the (query, neighbor)
+    pair key, every count folded in one map-side-combinable aggregate."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    truth = _l2_topk(q).select("query_id", "neighbor_id", F.lit(1).alias("in_t"))
+    pq = _pq_topk(spark, q).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_p")
+    )
+    j = truth.join(pq, ["query_id", "neighbor_id"], "full_outer")
+    hit = F.col("in_t").isNotNull() & F.col("in_p").isNotNull()
+    lost = F.col("in_t").isNotNull() & F.col("in_p").isNull()
+    per = j.groupBy("query_id").agg(
+        F.count("in_t").alias("n_truth"),
+        F.count("in_p").alias("n_pq"),
+        F.count(F.when(hit, 1)).alias("n_hit"),
+        F.count(F.when(lost, 1)).alias("missed"),
+    )
+    return per.select(
+        "query_id",
+        "n_truth",
+        "n_pq",
+        "n_hit",
+        "missed",
+        F.expr(
+            "CAST(CASE WHEN n_truth = 0 THEN 0"
+            " ELSE n_hit * 1000000 DIV n_truth END AS BIGINT)"
+        ).alias("recall_micro"),
     )

@@ -331,6 +331,12 @@ _FLAGSHIP_CHECKS = {
         ("one full-outer pair compare", "FullOuter"),
         ("no cartesian product", "!CartesianProduct"),
     ],
+    "sim_pq_eval": [
+        ("single-pass recall counts", "partial_count"),
+        ("one full-outer pair compare", "FullOuter"),
+        ("broadcast codebook/LUT", "BroadcastHashJoin"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
 }
 
 

@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     #
     # Tier 0 — NEW in round 8, never driver-checked.
     "sim_ivf_eval",
+    "sim_pq_eval",
     "dedup_minhash_groups",
     # Tier 1 — the 12 rows whose latest green is round 4.
     "window_range_frame",

@@ -100,6 +100,40 @@ def test_ivf_eval_identities_and_recall(spark):
     assert mean >= 0.6, f"measured IVF recall too low: {mean:.2f}"
 
 
+def test_pq_eval_identities_and_recall(spark):
+    """sim_pq_eval contract: exactly K rows per route per query, count
+    identities hold, per-query hits agree with an independent set
+    intersection of the registered PQ route vs the exact-L2 truth helper,
+    and the measured mean recall stays at the ≥ 0.6 floor."""
+    from olap_db_spark.operators.similarity import (
+        _l2_topk,
+        _quantized,
+        sim_pq_eval,
+        sim_pq_search,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["query_id"]: r for r in sim_pq_eval(spark, sf).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    for r in rows.values():
+        assert r["n_truth"] == 5 and r["n_pq"] == 5, r
+        assert r["n_hit"] + r["missed"] == r["n_truth"], r
+        assert r["recall_micro"] == r["n_hit"] * 1_000_000 // r["n_truth"], r
+    from olap_db_spark.catalog import load as _load
+
+    truth: dict[int, set[int]] = {}
+    q0 = _quantized(_load(spark, sf, "embeddings")).select("vec_id", "qv")
+    for r in _l2_topk(q0).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    pq: dict[int, set[int]] = {}
+    for r in sim_pq_search(spark, sf).collect():
+        pq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q in truth:
+        assert rows[q]["n_hit"] == len(truth[q] & pq.get(q, set())), q
+    mean = sum(r["recall_micro"] for r in rows.values()) / len(rows) / 1e6
+    assert mean >= 0.6, f"measured PQ recall too low: {mean:.2f}"
+
+
 def test_pq_search_recall_vs_exact_l2(spark, duck):
     """PQ ADC shortlist (50) + exact re-rank recovers ≥ 0.6 of the exact
     L2 top-5 (the metric PQ approximates; duck computes ground truth)."""
