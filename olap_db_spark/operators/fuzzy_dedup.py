@@ -1154,30 +1154,83 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Why this exists alongside ``dedup_minhash_lsh``: the pair-emitting
     form's OUTPUT grows ~quadratically in per-document clone count (the
-    sf10 probe measured 99× for 100× rows on the replica corpus — true
+    sf10 probe measured ~100× for 100× rows on the replica corpus — true
     pair-set growth, not plan decay), while the group form emits one row
     per member: O(duplicated docs), linear by construction. A curation
     pipeline acts on keep/drop lists, not pair lists, so the linear form
     is what actually runs at 100 TB; the pair form remains the
     measurement/debug surface (``dedup_lsh_eval``).
 
-    Scale shape: candidate generation is the shared banded equi-join
-    (never all-pairs); verification touches candidate pairs only; the CC
-    fixpoint is the same log(diameter)-round star contraction as
-    ``dedup_components`` over an edge set that dedup graphs keep tiny
-    (cliques contract in 2–3 rounds); group sizes are one hash aggregate
-    on the component key joined back to O(duplicated docs) rows."""
-    sh = _shingled(_dup_corpus(spark, sf_dir))
+    VERBATIM-COLLAPSE — the step that ALSO makes the intermediate work
+    linear, not just the output (the first shape of this query verified
+    the full candidate pair set and still ran 68× at sf10): exact-dedup
+    runs before fuzzy-dedup. Documents are collapsed into text-equality
+    classes (md5(text)); identical text ⇒ identical shingle SET ⇒
+    identical MinHash signatures, band keys, and Jaccard to every other
+    document — so the LSH + verify + CC pipeline runs over one
+    representative per class (node id = the class's min doc_id), and the
+    result expands back through the class table. Equivalence to the
+    full-graph oracle is exact, not approximate:
+
+    - clones of a ≥3-token doc always collide (identical band keys) and
+      verify at jaccard 1, so a class of size ≥ 2 is a clique in the
+      full graph — represented by its node's own component when the rep
+      has no cross-class edge (``selfc`` below), by the rep's component
+      otherwise;
+    - a cross-class edge (a, b) exists in the full graph iff the edge
+      between their reps exists (same shingle arrays ⇒ same candidate
+      collision and the same verified jaccard);
+    - star contraction labels each component by its minimum node id, and
+      node ids are class minima, so the expanded component id is the
+      global min doc_id — exactly the oracle's ``LEAST(node, MIN(m))``;
+    - <3-token docs have no shingle row, hence no signatures and no
+      edges in the full graph: the ``sh`` semi-join keeps their classes
+      out of ``selfc`` too.
+
+    Scale shape: the class collapse is one map-side md5 + one hash agg;
+    candidate generation is the shared banded equi-join over DISTINCT
+    texts (never all-pairs, and clone count no longer multiplies the
+    candidate set — the replica corpus collapses ~clone_factor×);
+    verification touches rep-level candidate pairs only; the CC fixpoint
+    is the same log(diameter)-round star contraction as
+    ``dedup_components``; the expansion is one equi-join back to
+    O(duplicated docs) rows + one hash aggregate for group sizes."""
+    corpus = _dup_corpus(spark, sf_dir)
+    keyed = corpus.select("doc_id", F.md5(F.col("text")).alias("tkey"))
+    classes = keyed.groupBy("tkey").agg(
+        F.min("doc_id").alias("node"), F.count(F.lit(1)).alias("csize")
+    )
+    reps = corpus.join(
+        classes.select(F.col("node").alias("doc_id")), "doc_id", "left_semi"
+    )
+    sh = _shingled(reps)
     pairs = (
         _candidate_jaccard(_lsh_candidates(sh), sh)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
-    cc = _star_contraction(pairs)
-    sizes = cc.groupBy("component").agg(
+    cc = _star_contraction(pairs).select(
+        F.col("doc_id").alias("node"), "component"
+    )
+    # classes of >= 2 shingled clones are cliques even when their rep has
+    # no cross-class edge: they form their own component, rooted at the
+    # node (= the class min, = the component min)
+    selfc = (
+        classes.filter(F.col("csize") >= 2)
+        .join(sh.select(F.col("doc_id").alias("node")), "node", "left_semi")
+        .join(cc, "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    node_comp = cc.unionByName(selfc)
+    members = (
+        keyed.join(classes.select("tkey", "node"), "tkey")
+        .join(node_comp, "node")
+        .select("doc_id", "component")
+    )
+    sizes = members.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("group_size")
     )
-    return cc.join(sizes, "component").select(
+    return members.join(sizes, "component").select(
         "doc_id",
         F.col("component").alias("group_id"),
         "group_size",

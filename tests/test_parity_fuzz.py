@@ -90,6 +90,10 @@ _QUERIES = (
     "text_domain_cap",
     "dedup_cluster_best",
     "dedup_lsh_eval",
+    # round-8: the verbatim-collapse equivalence (exact-dedup before
+    # fuzzy-dedup) must hold on degenerate classes — all-identical
+    # corpora, single-doc corpora, <3-token docs with clones
+    "dedup_minhash_groups",
 )
 
 
