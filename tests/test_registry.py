@@ -111,6 +111,23 @@ def test_readme_inventory_matches_registry():
     assert f"**{n} queries" in line, (line, n)
 
 
+def test_bench_artifacts_are_ghost_free():
+    """Every query named in the committed bench artifacts must still be
+    registered — a renamed/removed query whose old timing lingers would
+    silently corrupt tools/bench_gate.py's baseline and the generated
+    README tables. (The forward direction — artifacts COVERING every
+    registered query — is enforced by the round workflow's quiet-host
+    re-measure, not here: failing the suite on every mid-round query
+    addition would force bench runs on a contended host, which the bench
+    discipline forbids.)"""
+    names = set(registry.all_queries())
+    for art, sf in (("BENCH_FULL.json", 0.1), ("BENCH_sf1.json", 1.0)):
+        data = json.loads(pathlib.Path(art).read_text())
+        ghosts = set(data["queries"]) - names
+        assert not ghosts, f"{art} times unregistered queries: {sorted(ghosts)}"
+        assert data["sf"] == sf, (art, data["sf"])
+
+
 def test_every_query_has_fn_and_oracle():
     qs = registry.all_queries()
     assert len(qs) >= 113
