@@ -93,12 +93,15 @@ _PRIORITY: tuple[str, ...] = (
     "func_date_arith",
     # Tier 2 — the 42 rows whose latest green is round 5. Integer-SUM /
     # join-heavy shapes first (most exposed to driver-side arrow/HUGEINT
-    # drift); the trailing four (meta_select_one: constant literal row;
-    # sample_bernoulli / sample_stratified: content-addressed coins under
-    # a 5-sigma pytest contract; scale_zorder_layout: layout property,
-    # plan-gated in pytest) are the least drift-exposed and defer past
-    # slot 50 — they rotate in round 9 along with whatever new round-8
-    # queries displace.
+    # drift). With the three round-8 additions holding tier-0 slots,
+    # 35 of the 42 fit the window and SEVEN defer to round 9:
+    # ts_user_lifetime, mm_binary_features and func_math_family (pure
+    # column arithmetic / mapInPandas shapes, pytest-covered), plus the
+    # four least drift-exposed rows deliberately ordered last
+    # (meta_select_one: constant literal row; sample_bernoulli /
+    # sample_stratified: content-addressed coins under a 5-sigma pytest
+    # contract; scale_zorder_layout: layout property, plan-gated in
+    # pytest).
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",

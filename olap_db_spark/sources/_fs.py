@@ -31,15 +31,8 @@ def is_uri(path: str) -> bool:
     return "://" in path
 
 
-def _strip(path: str) -> str:
-    return path.rstrip("/")
-
-
 class _LocalFS:
     """Plain-OS fast path: no JVM needed, callable without a SparkSession."""
-
-    def join(self, *parts: str) -> str:
-        return os.path.join(*parts)
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
@@ -105,9 +98,6 @@ class _HadoopFS:
         self._fs = self._Path(sample_path).getFileSystem(
             spark._jsc.hadoopConfiguration()
         )
-
-    def join(self, *parts: str) -> str:
-        return "/".join(p.rstrip("/") for p in parts[:-1]) + "/" + parts[-1]
 
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(self._Path(path)))

@@ -100,9 +100,13 @@ def _list_version_dirs(path: str) -> list[int]:
 def _data_files(path: str, v: int) -> list[str]:
     """Relative paths (under ``_versions/``) of version ``v``'s parquet
     files — from its manifest when it has one (append-delta version),
-    else its own directory listing (snapshot version)."""
+    else its own directory listing (snapshot version). A missing version
+    raises a friendly FileNotFoundError on every filesystem (the Hadoop
+    shim's listdir would otherwise surface a raw Java stacktrace)."""
     fs = fs_for(path)
     vdir = _vdir(path, v)
+    if not fs.exists(vdir):
+        raise FileNotFoundError(f"version {v} not found at {path}")
     try:
         manifest = fs.read_text(f"{vdir}/{_MANIFEST}")
         return [line for line in manifest.splitlines() if line]
@@ -246,15 +250,12 @@ def read_version(spark: SparkSession, path: str, v: int) -> DataFrame:
     """Read one version: its manifest's file list when it has one
     (append-delta), else its directory (snapshot). Either way the scan
     is over immutable files only."""
-    files = _data_files(path, v)
+    files = _data_files(path, v)  # raises FileNotFoundError if v absent
     vroot = f"{path.rstrip('/')}/{_VERSIONS}"
-    fs = fs_for(path)
     if not files:
         # empty version (e.g. an append of zero rows): preserve schema by
         # reading the version directory itself
         return spark.read.parquet(_vdir(path, v))
-    if not fs.exists(_vdir(path, v)):
-        raise FileNotFoundError(f"version {v} not found at {path}")
     return spark.read.parquet(*[f"{vroot}/{rel}" for rel in files])
 
 
@@ -286,12 +287,20 @@ def vacuum(path: str, keep: int = 2) -> list[int]:
     """Delete version directories not needed by the newest ``keep``
     committed versions. "Needed" includes manifest references: an
     append-delta version keeps every ancestor directory its manifest
-    still points into, so vacuum can never break a kept version's read.
-    Out-of-chain directories (crashed writers, rollback-abandoned
-    versions) are reclaimed — so don't run vacuum concurrently with an
-    in-flight commit, the one scheduling constraint this model has.
-    The chain is truncated to the kept versions. Returns the deleted
-    version numbers, ascending."""
+    still points into, so vacuum can never break a kept version's read —
+    and an ancestor whose DIRECTORY survives also KEEPS its chain entry
+    (and with it its batch-id idempotency marker: truncating history for
+    versions whose rows still serve through a kept manifest would reopen
+    the duplicate-ingest window on a streaming replay). Out-of-chain
+    directories (crashed writers, rollback-abandoned versions) are
+    reclaimed — so don't run vacuum concurrently with an in-flight
+    commit, the one scheduling constraint this model has.
+
+    Crash ordering: the truncated chain is committed BEFORE any
+    directory is deleted. A crash mid-vacuum therefore leaves harmless
+    orphan directories for the next vacuum, never a pointer that
+    references deleted versions. Returns the deleted version numbers,
+    ascending."""
     if keep < 1:
         raise ValueError(f"keep must be >= 1 (the head always survives), got {keep}")
     chain = _read_chain(path)
@@ -302,13 +311,13 @@ def vacuum(path: str, keep: int = 2) -> list[int]:
     for v in kept:
         for rel in _data_files(path, v):
             needed.add(int(rel.split("/", 1)[0][2:]))
+    doomed = [v for v in _list_version_dirs(path) if v not in needed]
+    # history = versions still materialized: chain entries keep their
+    # slot (and batch marker) unless their directory is actually deleted
+    new_chain = [v for v in chain if v not in doomed]
+    if new_chain != chain:
+        _write_chain(path, new_chain)  # commit the truncation first…
     fs = fs_for(path)
-    deleted = []
-    for v in _list_version_dirs(path):
-        if v in needed:
-            continue
+    for v in doomed:  # …then reclaim storage
         fs.delete(_vdir(path, v))
-        deleted.append(v)
-    if kept != chain:
-        _write_chain(path, kept)
-    return deleted
+    return doomed

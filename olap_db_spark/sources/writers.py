@@ -343,10 +343,15 @@ def compact_partitions(
 
     # Crash recovery: a backup without a live partition directory means a
     # prior run died between its two swap renames — restore it first.
+    # EVERY parked entry is restored, not just ones matching this call's
+    # partition_col: a later run invoked with a different column must not
+    # sweep another column's parked partition into the bak-root delete
+    # (an entry whose live directory exists is a post-swap leftover and
+    # is safe to discard with the root).
     if fs.isdir(bak_root):
         for entry in fs.listdir(bak_root):
             live = f"{base}/{entry}"
-            if entry.startswith(prefix) and not fs.exists(live):
+            if not fs.exists(live):
                 fs.rename(f"{bak_root}/{entry}", live)
         fs.delete(bak_root)
     fs.delete(stage_root)

@@ -297,3 +297,32 @@ def test_compact_partitions_crash_recovery(spark, tmp_path):
     } == before_rows, "crash recovery lost rows"
     assert not os.path.exists(os.path.join(path, ".compact_bak"))
     assert not os.path.exists(os.path.join(path, ".compact_tmp"))
+
+
+def test_compact_recovery_restores_foreign_column_backups(spark, tmp_path):
+    """A parked partition must be restored even when the NEXT run names a
+    different partition column — recovery that filtered on the current
+    prefix would sweep another column's only copy into the bak-root
+    delete."""
+    import shutil
+
+    from olap_db_spark.sources.writers import compact_partitions
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, i) for i in range(10)], "day INT, v INT"
+    ).coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+    before_rows = {
+        (r["day"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    os.makedirs(os.path.join(path, ".compact_bak"), exist_ok=True)
+    shutil.move(
+        os.path.join(path, "day=1"),
+        os.path.join(path, ".compact_bak", "day=1"),
+    )
+    # a maintenance run keyed on a DIFFERENT column still restores day=1
+    assert compact_partitions(spark, path, "region") == []
+    assert {
+        (r["day"], r["v"]) for r in spark.read.parquet(path).collect()
+    } == before_rows, "foreign-column recovery lost the parked partition"
+    assert not os.path.exists(os.path.join(path, ".compact_bak"))

@@ -184,6 +184,44 @@ def test_crashed_writer_batch_marker_stays_invisible(spark, tmp_path):
     assert V.committed_batch_ids(path) == {0, 1, 2}
 
 
+def test_vacuum_crash_leaves_pointer_consistent(spark, tmp_path, monkeypatch):
+    """vacuum commits the truncated chain BEFORE deleting directories, so
+    a crash mid-delete leaves the pointer referencing only live versions
+    (the un-deleted doomed directories become orphans for the next run)
+    — never a history entry whose data is gone."""
+    from olap_db_spark.sources import _fs
+
+    path = str(tmp_path / "tbl")
+    for i, val in enumerate(("a", "b", "c", "d")):
+        V.snapshot_write(
+            spark,
+            spark.createDataFrame([(1, val)], "k INT, val STRING"),
+            path,
+            batch_id=i,
+        )
+    orig = _fs._LocalFS.delete
+    calls = {"n": 0}
+
+    def boom(self, p):
+        calls["n"] += 1
+        orig(self, p)
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash mid-vacuum")
+
+    monkeypatch.setattr(_fs._LocalFS, "delete", boom)
+    with pytest.raises(RuntimeError, match="mid-vacuum"):
+        V.vacuum(path, keep=2)
+    monkeypatch.undo()
+    # the pointer was truncated first: every advertised version reads,
+    # and the batch markers match the surviving history exactly
+    assert V.versions(path) == [3, 4]
+    for v in V.versions(path):
+        V.read_version(spark, path, v).collect()
+    assert V.committed_batch_ids(path) == {2, 3}
+    # v1 died pre-crash, v2 survived as an orphan; the next vacuum reclaims it
+    assert V.vacuum(path, keep=2) == [2]
+
+
 def test_vacuum_keep_must_be_positive(spark, tmp_path):
     path = str(tmp_path / "tbl")
     V.snapshot_write(
@@ -217,19 +255,44 @@ def test_append_delta_versions(spark, tmp_path):
     v3_files = {f: s for f, s in _state(path).items() if "v=00000003" in f}
     assert v3_files == {f: s for f, s in before.items() if "v=00000003" in f}
     # vacuum(keep=1) keeps HEAD=4 — whose manifest references v1..v4's
-    # directories — so NOTHING is deletable and the head still reads whole
+    # directories — so NOTHING is deletable, the head still reads whole,
+    # and the chain keeps every still-materialized version: truncating
+    # history for versions whose rows still serve through the kept
+    # manifest would also drop their batch-id idempotency markers and
+    # reopen the duplicate-ingest window on a streaming replay.
     assert V.vacuum(path, keep=1) == []
     assert _rows(V.read_head(spark, path)) == {
         (1, "a"), (2, "b"), (3, "c"), (4, "d"),
     }
-    assert V.versions(path) == [4], "vacuum must still truncate the chain"
+    assert V.versions(path) == [1, 2, 3, 4], (
+        "vacuum truncated history for versions it did not delete"
+    )
     # a snapshot rewrite (e.g. a compaction job) breaks the ancestry:
     # the next vacuum reclaims every no-longer-referenced delta directory
+    # (and only then drops them from history)
     V.snapshot_write(spark, V.read_head(spark, path), path)
     assert V.vacuum(path, keep=1) == [1, 2, 3, 4]
+    assert V.versions(path) == [5]
     assert _rows(V.read_head(spark, path)) == {
         (1, "a"), (2, "b"), (3, "c"), (4, "d"),
     }
+
+
+def test_vacuum_preserves_batch_markers_of_surviving_versions(spark, tmp_path):
+    """Append-mode exactly-once across vacuum: versions pinned by a kept
+    manifest keep their chain slot and batch marker, so a replayed old
+    batch id still no-ops after vacuum."""
+    path = str(tmp_path / "tbl")
+    fn = V.foreach_batch_versioned(path, mode="append")
+    for bid in range(4):
+        fn(spark.createDataFrame([(bid, "x")], "k INT, val STRING"), bid)
+    assert V.vacuum(path, keep=1) == []
+    assert V.committed_batch_ids(path) == {0, 1, 2, 3}, (
+        "vacuum dropped batch markers for versions whose rows still serve"
+    )
+    before = _rows(V.read_head(spark, path))
+    fn(spark.createDataFrame([(0, "x")], "k INT, val STRING"), 0)  # replay
+    assert _rows(V.read_head(spark, path)) == before, "replayed batch re-committed"
 
 
 def test_streaming_exactly_once_append_mode(spark, tmp_path):
