@@ -151,7 +151,24 @@ def _pagerank_df(
         edges = joined.localCheckpoint()
     else:
         rank_side = lambda df: df  # noqa: E731 — AQE plans the shuffle join
-        edges = joined.repartition("src").localCheckpoint()
+        # Partition count must SCALE with the graph: repartition("src")
+        # inherits spark.sql.shuffle.partitions, and at the sf100 probe
+        # (~800M edge rows / 32 partitions) the checkpoint's per-block
+        # DESERIALIZED unroll (~1.2 GB × 32 concurrent tasks) blew the
+        # 48 GB heap. Sizing blocks off the node-count bound already in
+        # hand (~edges/partition stays task-sized at any scale) and
+        # storing SERIALIZED (pyspark MEMORY_AND_DISK) keeps the unroll
+        # a few hundred MB per task and spills gracefully instead of
+        # OOMing — measured at sf100: OOM → completes.
+        from pyspark.storagelevel import StorageLevel
+
+        n_parts = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            n_nodes // 125_000,
+        )
+        edges = joined.repartition(n_parts, "src").localCheckpoint(
+            storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     rank = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     for _ in range(_PR_ITERS):
