@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from olap_db_spark.sources._fs import fs_for
+
 
 @contextmanager
 def _dynamic_overwrite(spark: SparkSession):
@@ -52,6 +54,21 @@ def _read_parquet_if_exists(
         if "PATH_NOT_FOUND" in str(ex) or "UNABLE_TO_INFER_SCHEMA" in str(ex):
             return None
         raise
+
+
+def _stage_and_read(
+    spark: SparkSession, df: DataFrame, path: str, suffix: str
+) -> tuple[DataFrame, str]:
+    """Materialize ``df`` through a sibling staging directory and hand
+    back a frame that reads the STAGED copy plus the staging path (the
+    caller deletes it when done). This is how every rewrite-in-place
+    breaks the read-own-source cycle: a streamed disk stage bounds memory
+    at any data size, where a pinned ``localCheckpoint`` unrolls whole
+    partition blocks in executor storage (the failure mode the sf100
+    probe measured on PageRank's edge table)."""
+    staging = path.rstrip("/") + suffix
+    df.write.mode("overwrite").parquet(staging)
+    return spark.read.parquet(staging), staging
 
 
 def append_parquet(df: DataFrame, path: str) -> None:
@@ -193,17 +210,20 @@ def upsert_partition_scoped(
             touched = touched | F.col(partition_col).isNull()
         unioned = existing.filter(touched).unionByName(incoming)
     w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
-    latest = (
+    merged = (
         unioned.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        # materialize + cut lineage: the overwrite below must not read
-        # from the path it replaces (self-overwrite is rejected at
-        # analysis when the plan still references the source)
-        .localCheckpoint()
     )
+    # Materialize through a staging DIRECTORY, not a pinned
+    # localCheckpoint: the overwrite below must not read from the path it
+    # replaces, and a disk stage bounds memory at any partition size
+    # (the checkpoint unroll is what OOM'd PageRank's edge table at the
+    # sf100 probe — same class). The stage is an ordinary streamed write.
+    latest, staging = _stage_and_read(spark, merged, path, "._upsert_staging")
     with _dynamic_overwrite(spark):
         latest.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    fs_for(path).delete(staging)
     return parts
 
 
@@ -255,10 +275,11 @@ def delete_where(
     # (three-valued logic: NOT NULL → NULL → filtered out) — silent data
     # loss for e.g. `value > 100` against a NULL value row sharing a
     # rewritten partition with a match.
-    survivors = (
-        existing.filter(in_touched)
-        .filter(~F.coalesce(cond, F.lit(False)))
-        .localCheckpoint()
+    survivors, staging = _stage_and_read(
+        spark,
+        existing.filter(in_touched).filter(~F.coalesce(cond, F.lit(False))),
+        path,
+        "._delete_staging",
     )
     # Dynamic overwrite only rewrites partitions PRESENT in the output —
     # a partition whose every row matches the predicate would silently
@@ -271,8 +292,6 @@ def delete_where(
     fully_deleted = [p for p in touched if p not in kept]
     with _dynamic_overwrite(spark):
         survivors.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    from olap_db_spark.sources._fs import fs_for
-
     fs = fs_for(path)
     for p in fully_deleted:
         part_dir = (
@@ -280,6 +299,7 @@ def delete_where(
             + ("__HIVE_DEFAULT_PARTITION__" if p is None else str(p))
         )
         fs.delete(part_dir)
+    fs.delete(staging)
     return touched
 
 
@@ -330,8 +350,6 @@ def compact_partitions(
     Returns the list of compacted partition values (as directory-encoded
     strings)."""
     import math
-
-    from olap_db_spark.sources._fs import fs_for
 
     fs = fs_for(path)
     base = path.rstrip("/")
