@@ -155,17 +155,10 @@ def upsert_keep_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    staging = path.rstrip("/") + "._staging"
-    latest.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-    # staging cleanup through the Hadoop FileSystem API — works for any
-    # supported scheme (s3a://, hdfs://, file:), unlike shutil which
-    # silently no-ops on non-local URIs
+    staged, staging = _stage_and_read(spark, latest, path, "._staging")
+    staged.write.mode("overwrite").parquet(path)
     try:
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(staging)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(jpath, True)
+        fs_for(staging).delete(staging)
     except Exception:  # cleanup is best-effort; the merge itself is done
         pass
 
