@@ -47,15 +47,31 @@ ORDER BY d.o_orderpriority
 
 @register("scale_salted_skew_join", oracle=_SALTED_ORACLE, tags=("scale", "join"))
 def scale_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted join over a key where ~50% of rows share one value.
+    """Salted join over a key where ~50% of rows share one value — with
+    the salt applied ONLY to detected hot keys.
 
-    Technique: fact rows get `salt = crc32(unique) % S`; the dim side is
-    exploded S× with every salt, and the join key becomes (key, salt) —
-    the hot key's rows spread across S reducers instead of one. The
-    oracle is the UNSALTED join: identical results prove the rewrite is
-    semantics-preserving. At 100 TB this (or AQE skew-join, enabled in
-    session.py) is the difference between a straggler task holding the
-    stage for hours and even progress."""
+    Technique: fact rows of a hot key get `salt = crc32(unique) % S`; the
+    hot slice of the dim side is exploded S× with every salt, and that
+    join runs on (key, salt) — the hot key's rows spread across S
+    reducers instead of one. Everything else joins PLAIN and the two
+    streams union. The oracle is the UNSALTED join: identical results
+    prove the rewrite is semantics-preserving.
+
+    Hot-key detection: a content-addressed 1% sample
+    (xxhash64 % 100 == 0 — deterministic across runs/engines/retries,
+    repo-standard coin) counted per key; keys whose estimated rows exceed
+    ~5% of the fact table are hot. Correctness does NOT depend on the
+    detected set — the hot/cold split is semantics-preserving for ANY
+    partition of the keys; detection only decides who pays the salt.
+
+    Why the split matters (sf100 probe): the round-7 shape salted
+    EVERYTHING — exploding the whole 75M-row dim side 8× at sf100 put
+    ~600M manufactured dim rows through the shuffle and ran 241 s; the
+    technique's cost must scale with the SKEW, not the dim. Post-split,
+    the exploded slice is S rows per hot key. At 100 TB this (or AQE
+    skew-join, enabled in session.py, which performs exactly this split
+    from shuffle statistics) is the difference between a straggler task
+    holding the stage for hours and even progress."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
 
@@ -73,18 +89,40 @@ def scale_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([(0, "0-HOT")], "skew_key LONG, o_orderpriority STRING")
     )
 
-    # Salt from the ROW identity (original orderkey+linenumber), not the
-    # skewed key — a salt derived from low-cardinality columns collapses
-    # to few buckets exactly on the hot key it's meant to spread.
-    salted_fact = fact.withColumn(
-        "salt",
-        F.crc32(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")))
-        % _N_SALTS,
+    n_fact = fact.count()  # parquet-stat-backed; one metadata-cheap job
+    sample = fact.filter(
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(100)) == 0
     )
-    salted_dim = dim.withColumn(
-        "salt", F.explode(F.array(*[F.lit(s).cast("long") for s in range(_N_SALTS)]))
-    )
-    joined = salted_fact.join(salted_dim, ["skew_key", "salt"])
+    hot = [
+        r["skew_key"]
+        for r in sample.groupBy("skew_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= max(5, n_fact // 2000))  # est. share ≥ ~5%
+        .collect()
+    ]
+
+    cols = ["o_orderpriority", "l_extendedprice"]
+    if hot:
+        is_hot = F.col("skew_key").isin(hot)
+        # Salt from the ROW identity (original orderkey+linenumber), not
+        # the skewed key — a salt derived from low-cardinality columns
+        # collapses to few buckets exactly on the hot key it must spread.
+        salted_fact = fact.filter(is_hot).withColumn(
+            "salt",
+            F.crc32(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")))
+            % _N_SALTS,
+        )
+        salted_dim = dim.filter(is_hot).withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(s).cast("long") for s in range(_N_SALTS)])),
+        )
+        joined = (
+            salted_fact.join(salted_dim, ["skew_key", "salt"])
+            .select(*cols)
+            .unionByName(fact.filter(~is_hot).join(dim.filter(~is_hot), "skew_key").select(*cols))
+        )
+    else:
+        joined = fact.join(dim, "skew_key").select(*cols)
     return (
         joined.groupBy("o_orderpriority")
         .agg(
