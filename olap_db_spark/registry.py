@@ -66,77 +66,18 @@ _LOADED = False
 # order); everything else follows in registration order.
 #
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-8 WINDOW (first 50 reach the driver) — stale-row rotation.
-    # Rounds 6 and 7 both went 50/50 green, so this window executes the r7
-    # VERDICT's #1 ask: the 12 rows whose latest driver green is round 4,
-    # then the 42 rows whose latest green is round 5 filling the remaining
-    # slots (ordered so the most defer-tolerant rows sit last — they are
-    # the ones displaced past slot 50 as new round-8 queries claim their
-    # never-checked slots at the top).
+    # ROUND-9 WINDOW (first 50 reach the driver) — stale-row rotation.
+    # Round 8 went 50/50 green (the third consecutive fully-green round),
+    # so this window executes the r8 VERDICT's #1 ask: the 7 rows whose
+    # latest driver green is round 5 (they deferred past slot 50 last
+    # round and are now hard-stale), then 43 of the 50 rows whose latest
+    # green is round 6. Ordered so the most defer-tolerant rows sit last —
+    # they are the ones displaced past slot 50 as new round-9 queries
+    # claim never-checked slots at the top of the tuple.
     #
-    # Tier 0 — NEW in round 8, never driver-checked.
-    "sim_ivf_eval",
-    "sim_pq_eval",
-    "dedup_minhash_groups",
-    # Tier 1 — the 12 rows whose latest green is round 4.
-    "window_range_frame",
-    "window_distribution",
-    "meta_show_tables",
-    "ts_tumbling_window",
-    "ts_sliding_window",
-    "ts_session_window",
-    "ts_gap_fill",
-    "mm_real_decode_stats",
-    "mm_audio_rms_windows",
-    "mm_video_frame_sample",
-    "func_bitwise_family",
-    "func_date_arith",
-    # Tier 2 — the 42 rows whose latest green is round 5. Integer-SUM /
-    # join-heavy shapes first (most exposed to driver-side arrow/HUGEINT
-    # drift). With the three round-8 additions holding tier-0 slots,
-    # 35 of the 42 fit the window and SEVEN defer to round 9:
-    # ts_user_lifetime, mm_binary_features and func_math_family (pure
-    # column arithmetic / mapInPandas shapes, pytest-covered), plus the
-    # four least drift-exposed rows deliberately ordered last
-    # (meta_select_one: constant literal row; sample_bernoulli /
-    # sample_stratified: content-addressed coins under a 5-sigma pytest
-    # contract; scale_zorder_layout: layout property, plan-gated in
-    # pytest).
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q18_large_volume_orders",
-    "q20_promotion_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "agg_basic_stats",
-    "agg_corr_covar",
-    "agg_count_min_sketch",
-    "agg_median_exact",
-    "agg_sum_map",
-    "dedup_exact",
-    "join_asof_nearest",
-    "scale_bloom_semi_join",
-    "scale_repartition_agg",
-    "scale_salted_skew_join",
-    "sim_ivf_centroids",
-    "text_bm25_search",
-    "text_token_count_bpe",
-    "text_doc_chunking",
-    "text_domain_mixture",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_ngram_topk",
-    "text_pii_redact",
-    "text_quality_filter",
-    "text_quality_signals",
-    "text_stats_by_lang",
-    "ts_sequence_match",
+    # Tier 0 — NEW in round 9, never driver-checked (added as round-9
+    # work lands; each new name displaces one tier-2 row past slot 50).
+    # Tier 1 — the 7 rows whose latest green is round 5 (hard-stale).
     "ts_user_lifetime",
     "mm_binary_features",
     "func_math_family",
@@ -144,6 +85,67 @@ _PRIORITY: tuple[str, ...] = (
     "sample_bernoulli",
     "sample_stratified",
     "scale_zorder_layout",
+    # Tier 2 — 43 of the 50 rows whose latest green is round 6.
+    # Integer-SUM / join-heavy shapes first (most exposed to driver-side
+    # arrow/HUGEINT drift); graph/pipeline/sim fixpoints next; map-only
+    # and small-result shapes later. SEVEN r6 rows defer to round 10 by
+    # sitting past slot 50 (least drift-exposed: join_cross and
+    # setop_union_all are tiny-dim/no-shuffle unions, meta_show_databases
+    # and meta_show_create_table return constant metadata, func_array_ops
+    # and func_conditional are pure column expressions pytest-covered,
+    # dedup_distinct is a plain DISTINCT over stable columns).
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q4_priority_exists",
+    "q5_local_supplier_volume",
+    "q11_important_stock",
+    "q12_priority_lateness",
+    "q17_small_qty_revenue",
+    "join_inner_chain",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_nonequi_band",
+    "graph_pagerank_purchases",
+    "agg_collect_set",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_id",
+    "agg_grouping_sets",
+    "agg_hll_intersect",
+    "agg_weighted_avg_pandas",
+    "dedup_keep_first",
+    "dedup_semantic",
+    "dedup_span_exact",
+    "pipeline_corpus_curation",
+    "sim_ivf_kmeans",
+    "text_bigram_lm_nll",
+    "text_bigram_nll_topk",
+    "text_bm25_topk",
+    "text_domain_kl",
+    "text_hybrid_rrf",
+    "text_repetition_stats",
+    "page_filtered_sorted",
+    "page_keyset",
+    "page_limit_offset",
+    "page_sort_limit",
+    "page_topk_per_group",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_distinct",
+    # Deferred-to-round-10 tail (still priority-ordered so they lead the
+    # next rotation).
+    "join_cross",
+    "setop_union_all",
+    "meta_show_databases",
+    "meta_show_create_table",
+    "func_array_ops",
+    "func_conditional",
+    "dedup_distinct",
 )
 
 
