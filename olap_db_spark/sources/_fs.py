@@ -78,6 +78,9 @@ class _LocalFS:
     def getsize(self, path: str) -> int:
         return os.path.getsize(path)
 
+    def getmtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
 
 class _HadoopFS:
     """URI-schemed paths via ``org.apache.hadoop.fs.FileSystem`` — needs an
@@ -139,17 +142,27 @@ class _HadoopFS:
 
     def write_text_atomic(self, path: str, text: str) -> None:
         # Write-then-rename. Hadoop rename refuses an existing destination
-        # (measured on LocalFileSystem), so the swap onto an existing
-        # pointer is delete+rename — a one-small-file non-atomic window.
-        # HDFS deployments get an atomic rename for fresh names; S3
-        # production would swap via conditional PUT instead.
-        tmp = path + ".tmp"
+        # (measured on LocalFileSystem), so swapping onto an existing
+        # pointer PARKS the old file at <path>.bak and renames the fresh
+        # one into place — never delete-then-rename: a crash between those
+        # two steps would lose the pointer entirely (the versioned table
+        # would read as uninitialized and its next commit would silently
+        # restart history). A crash between the park and the final rename
+        # leaves the backup as the sole copy; readers that miss <path>
+        # fall back to <path>.bak (versioned._read_chain does). The
+        # backup is retired only after the swap lands. HDFS deployments
+        # get an atomic rename for fresh names; S3 production would swap
+        # via conditional PUT instead.
+        tmp, bak = path + ".tmp", path + ".bak"
         self.write_text(tmp, text)
-        jsrc, jdst = self._Path(tmp), self._Path(path)
+        jsrc, jdst, jbak = self._Path(tmp), self._Path(path), self._Path(bak)
         if not self._fs.rename(jsrc, jdst):
-            self._fs.delete(jdst, False)
+            self._fs.delete(jbak, False)  # stale backup from an older crash
+            if not self._fs.rename(jdst, jbak):
+                raise OSError(f"park {path} -> {bak} failed")
             if not self._fs.rename(jsrc, jdst):
                 raise OSError(f"rename {tmp} -> {path} failed")
+        self._fs.delete(jbak, False)  # swap landed; retire the fallback
 
     def rename(self, src: str, dst: str) -> None:
         if not self._fs.rename(self._Path(src), self._Path(dst)):
@@ -160,6 +173,12 @@ class _HadoopFS:
 
     def getsize(self, path: str) -> int:
         return int(self._fs.getFileStatus(self._Path(path)).getLen())
+
+    def getmtime(self, path: str) -> float:
+        return (
+            self._fs.getFileStatus(self._Path(path)).getModificationTime()
+            / 1000.0
+        )
 
 
 def fs_for(path: str) -> _LocalFS | _HadoopFS:

@@ -60,6 +60,14 @@ _HEAD = "_HEAD"
 _VERSIONS = "_versions"
 _BATCH = "_SPARK_BATCH"
 _MANIFEST = "_MANIFEST"
+# Pointer-format stamp. Three formats exist in the wild: the original
+# head-only pointer (one bare integer), the unstamped chain (integers in
+# commit order), and the stamped chain written since. The stamp makes the
+# head-only format detectable — without it, a legacy pointer parses as a
+# one-entry chain and every earlier committed version silently drops out
+# of history (vacuum reclaims them regardless of keep, rollback refuses
+# them, their batch-id idempotency markers vanish).
+_FORMAT_TOKEN = "format=2"
 
 
 def _vdir(base: str, v: int) -> str:
@@ -69,19 +77,48 @@ def _vdir(base: str, v: int) -> str:
 def _read_chain(path: str) -> list[int]:
     """The committed chain from the pointer file, commit order (strictly
     increasing by construction: a new commit always numbers above every
-    existing directory). Missing pointer → no commits."""
+    existing directory). Missing pointer → no commits.
+
+    Resilience/migration rules:
+    - If the pointer is missing but its parked backup exists, read the
+      backup: a URI-path pointer swap parks the old file at ``_HEAD.bak``
+      before renaming the new one into place (``_fs.write_text_atomic``),
+      so a crash inside the swap window must present the prior chain —
+      never an uninitialized table whose next commit restarts history.
+    - A stamped pointer (``format=2 ...``) is the chain verbatim.
+    - An unstamped single integer is the LEGACY head-only format:
+      reconstruct its implied chain as every version directory up to the
+      head (the legacy code had no rollback/vacuum chain tracking, so
+      directories <= head were exactly its committed history). An
+      unstamped MULTI-entry pointer is the intermediate chain format and
+      parses verbatim. The one residual ambiguity — an unstamped
+      single-entry chain over a table that also has a pre-first-commit
+      crash orphan — adopts the orphan; any subsequent commit, rollback,
+      or vacuum rewrites the pointer stamped and retires the ambiguity.
+    """
     fs = fs_for(path)
+    ptr = f"{path.rstrip('/')}/{_HEAD}"
     try:
-        text = fs.read_text(f"{path.rstrip('/')}/{_HEAD}")
+        text = fs.read_text(ptr)
     except FileNotFoundError:
-        return []
-    return [int(tok) for tok in text.split()]
+        try:
+            text = fs.read_text(ptr + ".bak")
+        except FileNotFoundError:
+            return []
+    toks = text.split()
+    if toks and toks[0] == _FORMAT_TOKEN:
+        return [int(t) for t in toks[1:]]
+    vals = [int(t) for t in toks]
+    if len(vals) == 1:
+        return [d for d in _list_version_dirs(path) if d <= vals[0]]
+    return vals
 
 
 def _write_chain(path: str, chain: list[int]) -> None:
     fs = fs_for(path)
     fs.write_text_atomic(
-        f"{path.rstrip('/')}/{_HEAD}", " ".join(str(v) for v in chain)
+        f"{path.rstrip('/')}/{_HEAD}",
+        " ".join([_FORMAT_TOKEN] + [str(v) for v in chain]),
     )
 
 
@@ -283,7 +320,7 @@ def rollback(path: str, v: int) -> int:
     return v
 
 
-def vacuum(path: str, keep: int = 2) -> list[int]:
+def vacuum(path: str, keep: int = 2, grace_seconds: float = 600.0) -> list[int]:
     """Delete version directories not needed by the newest ``keep``
     committed versions. "Needed" includes manifest references: an
     append-delta version keeps every ancestor directory its manifest
@@ -291,16 +328,24 @@ def vacuum(path: str, keep: int = 2) -> list[int]:
     and an ancestor whose DIRECTORY survives also KEEPS its chain entry
     (and with it its batch-id idempotency marker: truncating history for
     versions whose rows still serve through a kept manifest would reopen
-    the duplicate-ingest window on a streaming replay). Out-of-chain
-    directories (crashed writers, rollback-abandoned versions) are
-    reclaimed — so don't run vacuum concurrently with an in-flight
-    commit, the one scheduling constraint this model has.
+    the duplicate-ingest window on a streaming replay).
+
+    Out-of-chain directories (crashed writers, rollback-abandoned
+    versions) are reclaimed — but only once they are older than
+    ``grace_seconds``: an in-flight writer's version directory is
+    out-of-chain by definition until its pointer swap, so without the
+    grace window a concurrent vacuum could reclaim a commit that was
+    about to land. A directory younger than the window is skipped this
+    run and reclaimed by a later one if it never commits. Pass
+    ``grace_seconds=0`` only when the table is known quiesced.
 
     Crash ordering: the truncated chain is committed BEFORE any
     directory is deleted. A crash mid-vacuum therefore leaves harmless
     orphan directories for the next vacuum, never a pointer that
     references deleted versions. Returns the deleted version numbers,
     ascending."""
+    import time
+
     if keep < 1:
         raise ValueError(f"keep must be >= 1 (the head always survives), got {keep}")
     chain = _read_chain(path)
@@ -311,13 +356,27 @@ def vacuum(path: str, keep: int = 2) -> list[int]:
     for v in kept:
         for rel in _data_files(path, v):
             needed.add(int(rel.split("/", 1)[0][2:]))
-    doomed = [v for v in _list_version_dirs(path) if v not in needed]
+    fs = fs_for(path)
+    in_chain = set(chain)
+    now = time.time()
+
+    def _reclaimable(v: int) -> bool:
+        if v in needed:
+            return False
+        if v in in_chain:
+            return True  # committed history beyond keep — never in-flight
+        try:
+            age = now - fs.getmtime(_vdir(path, v))
+        except FileNotFoundError:
+            return False
+        return age >= grace_seconds
+
+    doomed = [v for v in _list_version_dirs(path) if _reclaimable(v)]
     # history = versions still materialized: chain entries keep their
     # slot (and batch marker) unless their directory is actually deleted
     new_chain = [v for v in chain if v not in doomed]
     if new_chain != chain:
         _write_chain(path, new_chain)  # commit the truncation first…
-    fs = fs_for(path)
     for v in doomed:  # …then reclaim storage
         fs.delete(_vdir(path, v))
     return doomed

@@ -216,7 +216,10 @@ def upsert_partition_scoped(
     latest, staging = _stage_and_read(spark, merged, path, "._upsert_staging")
     with _dynamic_overwrite(spark):
         latest.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    fs_for(path).delete(staging)
+    try:
+        fs_for(path).delete(staging)
+    except Exception:  # cleanup is best-effort; the merge itself is done
+        pass
     return parts
 
 
@@ -292,7 +295,10 @@ def delete_where(
             + ("__HIVE_DEFAULT_PARTITION__" if p is None else str(p))
         )
         fs.delete(part_dir)
-    fs.delete(staging)
+    try:
+        fs.delete(staging)
+    except Exception:  # cleanup is best-effort; the delete itself is done
+        pass
     return touched
 
 

@@ -100,7 +100,7 @@ def test_vacuum_bounds_storage_keeps_head(spark, tmp_path):
     # HEAD itself always survives
     V.rollback(path, 3)
     assert _rows(V.read_version(spark, path, 4)) == {(1, "d")}
-    assert V.vacuum(path, keep=1) == [4]
+    assert V.vacuum(path, keep=1, grace_seconds=0) == [4]
     assert V.versions(path) == [3]
     assert _rows(V.read_head(spark, path)) == {(1, "c")}
 
@@ -115,7 +115,7 @@ def test_crash_orphan_excluded_and_vacuumed(spark, tmp_path):
     spark.createDataFrame([(9, "x")], "k INT, val STRING").write.parquet(orphan)
     assert V.versions(path) == [1], "orphan counted as committed"
     assert _rows(V.read_head(spark, path)) == {(1, "a")}
-    assert V.vacuum(path, keep=1) == [2], "orphan not cleaned"
+    assert V.vacuum(path, keep=1, grace_seconds=0) == [2], "orphan not cleaned"
 
 
 def test_rolled_back_versions_never_reenter_history(spark, tmp_path):
@@ -146,7 +146,7 @@ def test_rolled_back_versions_never_reenter_history(spark, tmp_path):
     )
     # vacuum's keep-window counts committed history only: keep=2 keeps
     # {1, 4} and reclaims the abandoned 2 and 3
-    assert V.vacuum(path, keep=2) == [2, 3]
+    assert V.vacuum(path, keep=2, grace_seconds=0) == [2, 3]
     assert V.versions(path) == [1, 4]
     assert _rows(V.read_head(spark, path)) == {(1, "d")}
 
@@ -219,7 +219,7 @@ def test_vacuum_crash_leaves_pointer_consistent(spark, tmp_path, monkeypatch):
         V.read_version(spark, path, v).collect()
     assert V.committed_batch_ids(path) == {2, 3}
     # v1 died pre-crash, v2 survived as an orphan; the next vacuum reclaims it
-    assert V.vacuum(path, keep=2) == [2]
+    assert V.vacuum(path, keep=2, grace_seconds=0) == [2]
 
 
 def test_vacuum_keep_must_be_positive(spark, tmp_path):
@@ -356,7 +356,7 @@ def test_versioned_sink_on_file_uri(spark, tmp_path):
         spark, spark.createDataFrame([(1, "d")], "k INT, val STRING"), path
     ) == 4
     assert V.versions(path) == [1, 2, 4]
-    assert V.vacuum(path, keep=1) == [1, 2, 3]
+    assert V.vacuum(path, keep=1, grace_seconds=0) == [1, 2, 3]
     assert _rows(V.read_head(spark, path)) == {(1, "d")}
     # append-delta over the URI path too (manifest read/write via Hadoop FS)
     V.append_write(
@@ -423,3 +423,95 @@ def test_streaming_exactly_once_complete_mode(spark, tmp_path):
     fn(V.read_head(spark, tbl), 7)
     assert len(V.versions(tbl)) == 3
     assert committed_batch_ids(tbl) == {0, 1, 7}
+
+
+def test_vacuum_grace_protects_inflight_commit(spark, tmp_path):
+    """The r8 verdict's sharp edge: vacuum run concurrently with an
+    in-flight commit must not reclaim the writer's not-yet-committed
+    directory. An in-flight version is out-of-chain by definition until
+    its pointer swap, so the grace window (skip young out-of-chain
+    directories) is what closes the race."""
+    import os as _os
+
+    path = str(tmp_path / "tbl")
+    for val in ("a", "b"):
+        V.snapshot_write(
+            spark, spark.createDataFrame([(1, val)], "k INT, val STRING"), path
+        )
+    # interleave: writer has landed its directory but not yet swapped the
+    # pointer when vacuum runs
+    inflight = _os.path.join(path, "_versions", "v=00000003")
+    spark.createDataFrame([(1, "c")], "k INT, val STRING").write.parquet(inflight)
+    assert V.vacuum(path, keep=1) == [1], (
+        "vacuum must reclaim old committed history but spare the young "
+        "in-flight directory"
+    )
+    # the writer's commit completes and serves
+    V._commit(path, 3, None)
+    assert V.versions(path) == [2, 3]
+    assert _rows(V.read_head(spark, path)) == {(1, "c")}
+    # a genuinely abandoned orphan IS reclaimed once it ages past the window
+    orphan = _os.path.join(path, "_versions", "v=00000004")
+    spark.createDataFrame([(9, "x")], "k INT, val STRING").write.parquet(orphan)
+    old = V.vacuum(path, keep=2)
+    assert old == [], "fresh orphan reclaimed inside the grace window"
+    past = 1_000_000
+    _os.utime(orphan, (_os.path.getmtime(orphan) - past,) * 2)
+    assert V.vacuum(path, keep=2) == [4]
+
+
+def test_uri_pointer_swap_crash_leaves_recoverable_backup(spark, tmp_path):
+    """A URI-path pointer swap parks the old _HEAD at _HEAD.bak before
+    renaming the new one in (never delete-then-rename): a crash between
+    the park and the rename must leave the committed chain readable via
+    the backup — not an uninitialized table whose next commit silently
+    restarts history."""
+    import os as _os
+
+    local = tmp_path / "uri_tbl"
+    path = "file://" + str(local)
+    for val in ("a", "b"):
+        V.snapshot_write(
+            spark, spark.createDataFrame([(1, val)], "k INT, val STRING"), path
+        )
+    head = local / "_HEAD"
+    bak = local / "_HEAD.bak"
+    assert not bak.exists(), "successful swap must retire the backup"
+    # simulate the crash window: pointer parked aside, new one never landed
+    _os.rename(head, bak)
+    assert V.versions(path) == [1, 2], "backup fallback lost the chain"
+    assert _rows(V.read_head(spark, path)) == {(1, "b")}
+    # streaming idempotency survives the window too
+    V.snapshot_write(
+        spark, spark.createDataFrame([(1, "c")], "k INT, val STRING"), path, batch_id=7
+    )
+    assert V.versions(path) == [1, 2, 3], "recovery commit discarded history"
+    assert V.committed_batch_ids(path) == {7}
+    assert head.exists() and not bak.exists(), "commit must retire the backup"
+
+
+def test_legacy_head_only_pointer_migration(spark, tmp_path):
+    """Pointer-format migration: a legacy head-only pointer (one bare
+    integer) reconstructs its implied chain (all directories <= head); an
+    unstamped multi-entry pointer (the intermediate chain format) parses
+    verbatim; and the first write re-stamps the pointer."""
+    path = str(tmp_path / "tbl")
+    for i, val in enumerate(("a", "b", "c")):
+        V.snapshot_write(
+            spark,
+            spark.createDataFrame([(1, val)], "k INT, val STRING"),
+            path,
+            batch_id=i,
+        )
+    head = tmp_path / "tbl" / "_HEAD"
+    # legacy format: the old code wrote only the head number
+    head.write_text("3")
+    assert V.versions(path) == [1, 2, 3], "legacy chain not reconstructed"
+    assert V.committed_batch_ids(path) == {0, 1, 2}
+    assert V.rollback(path, 2) == 2, "rollback refused a legacy-committed version"
+    assert head.read_text().startswith("format=2 "), "write did not re-stamp"
+    assert V.versions(path) == [1, 2]
+    # intermediate (unstamped chain) format parses verbatim
+    head.write_text("1 3")
+    assert V.versions(path) == [1, 3]
+    assert _rows(V.read_head(spark, path)) == {(1, "c")}

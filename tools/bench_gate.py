@@ -75,9 +75,10 @@ def main() -> None:
         print(f"REGRESSION  {q}: {b:.2f} s -> {t:.2f} s ({t / b:.2f}x)")
     total_b = sum(v for k, v in base.items() if k in fresh)
     total_f = sum(v for k, v in fresh.items() if k in base)
+    ratio = f"({total_f / total_b:.2f}x)" if total_b else "(no shared queries)"
     print(
         f"shared-query totals: committed {total_b:.1f} s -> fresh "
-        f"{total_f:.1f} s ({total_f / total_b:.2f}x); "
+        f"{total_f:.1f} s {ratio}; "
         f"{len(breaches)} breach(es), {len(news)} new quer(ies)"
     )
     if breaches:
