@@ -151,24 +151,55 @@ def _pagerank_df(
         edges = joined.localCheckpoint()
     else:
         rank_side = lambda df: df  # noqa: E731 — AQE plans the shuffle join
-        # Partition count must SCALE with the graph: repartition("src")
-        # inherits spark.sql.shuffle.partitions, and at the sf100 probe
-        # (~800M edge rows / 32 partitions) the checkpoint's per-block
-        # DESERIALIZED unroll (~1.2 GB × 32 concurrent tasks) blew the
-        # 48 GB heap. Sizing blocks off the node-count bound already in
-        # hand (~edges/partition stays task-sized at any scale) and
-        # storing SERIALIZED (pyspark MEMORY_AND_DISK) keeps the unroll
-        # a few hundred MB per task and spills gracefully instead of
-        # OOMing — measured at sf100: OOM → completes.
-        from pyspark.storagelevel import StorageLevel
-
-        n_parts = max(
+        # The cluster answer to the message-round join: persist the O(E)
+        # edge table ONCE as a src-BUCKETED, src-sorted parquet table, so
+        # every iteration's sort-merge join reads edges already
+        # partitioned AND sorted on the join key — only the O(V) rank
+        # exchange moves per round, and the edge side is never
+        # re-shuffled or re-sorted. This replaced a src-repartitioned
+        # localCheckpoint whose partitioning Catalyst could not always
+        # line up with the per-iteration join (the sf100 probe measured
+        # 5 × ~800M-row exchange/sort rounds — the one >10×/decade query
+        # in the round-8 probe); a bucketed scan's HashPartitioning is a
+        # catalog fact the planner trusts across all iterations. Bucket
+        # count scales with the node bound (~edges/bucket stays
+        # task-sized at any scale); the one-file-per-bucket repartition
+        # before the write is what lets the scan also report the
+        # per-bucket sort order (multi-file buckets forfeit it). The
+        # table lives in its own namespace (catalog hygiene — metadata
+        # probes list scoped namespaces of their own) and each call
+        # overwrites it, so a stale cache can never serve another
+        # sf_dir's graph.
+        n_buckets = max(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
             n_nodes // 125_000,
         )
-        edges = joined.repartition(n_parts, "src").localCheckpoint(
-            storageLevel=StorageLevel.MEMORY_AND_DISK
+        spark.sql("CREATE DATABASE IF NOT EXISTS olap_pr_cache")
+        spark.sql("DROP TABLE IF EXISTS olap_pr_cache.edges_by_src")
+        # An in-memory catalog forgets the table across sessions but its
+        # directory persists — saveAsTable then fails LOCATION_ALREADY_
+        # EXISTS. Pre-clean the managed location (URI paths through the
+        # FS shim; a bare file:/ prefix down to the local OS).
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).rstrip("/")
+        loc = f"{wh}/olap_pr_cache.db/edges_by_src"
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+            while loc.startswith("//"):
+                loc = loc[1:]
+        from olap_db_spark.sources._fs import fs_for
+
+        fs_for(loc).delete(loc)
+        (
+            joined.repartition(n_buckets, "src")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, "src")
+            .sortBy("src")
+            .saveAsTable("olap_pr_cache.edges_by_src")
         )
+        edges = spark.table("olap_pr_cache.edges_by_src")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     rank = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     for _ in range(_PR_ITERS):
