@@ -236,7 +236,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- n-gram Jaccard ----------------------------------------------------------------
 
 # CTE block shared by the pair query and the connected-components oracle
-_JACCARD_CTES = f"""corpus AS ({_CORPUS_SQL}),
+def _jaccard_ctes(pair_pred: str = "TRUE") -> str:
+    """Capped-blocking Jaccard CTE chain; ``pair_pred`` (over aliases
+    ``a``/``b`` of the exploded shingle stream) restricts the evaluated
+    pair universe — TRUE for the full eval, the sampled coin for the
+    production-scale one."""
+    return f"""corpus AS ({_CORPUS_SQL}),
 shingled AS ({_SHINGLES_SQL}),
 exploded AS (
   SELECT doc_id, unnest(shingles) AS sh FROM shingled
@@ -249,7 +254,7 @@ pairs AS (
   FROM exploded a
   JOIN capped USING (sh)
   JOIN exploded b USING (sh)
-  WHERE a.doc_id < b.doc_id
+  WHERE a.doc_id < b.doc_id AND ({pair_pred})
   GROUP BY 1, 2
 ),
 sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
@@ -261,6 +266,9 @@ jpairs AS (
   JOIN sizes sb ON sb.doc_id = p.doc_b
   WHERE CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) >= 0.5
 )"""
+
+
+_JACCARD_CTES = _jaccard_ctes()
 
 _JACCARD_ORACLE = f"""
 WITH {_JACCARD_CTES}
@@ -279,11 +287,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_shingled(_dup_corpus(spark, sf_dir)))
 
 
-def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+def _jaccard_pairs(sh: DataFrame, pair_pred=None) -> DataFrame:
     """Exact capped-blocking Jaccard pairs (≥ 0.5) over a shingled frame.
     Shared by ``dedup_ngram_jaccard`` and ``dedup_lsh_eval`` so the eval
     scores against the identical truth pipeline (and the shingle subtree
-    is built once per plan)."""
+    is built once per plan). ``pair_pred(doc_a, doc_b)`` restricts the
+    pair universe BEFORE the counting aggregate (truth-set sampling) —
+    the filter runs on the exploded pair stream, so sampled evals also
+    skip the aggregation work for unsampled pairs."""
     # One pass: explode carries each doc's shingle-set size, so pair rows
     # already hold both set sizes — no sizes join, no shingle recompute.
     exploded = sh.select(
@@ -313,8 +324,13 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
         ),
         lambda s: s["doc_a"] < s["doc_b"],
     )
+    exploded_pairs = grouped.select(F.explode(pairs_arr).alias("p"))
+    if pair_pred is not None:
+        exploded_pairs = exploded_pairs.filter(
+            pair_pred(F.col("p.doc_a"), F.col("p.doc_b"))
+        )
     pairs = (
-        grouped.select(F.explode(pairs_arr).alias("p"))
+        exploded_pairs
         .groupBy(
             F.col("p.doc_a").alias("doc_a"),
             F.col("p.na").alias("na"),
@@ -483,8 +499,12 @@ def _candidate_jaccard(candidates: DataFrame, sh: DataFrame) -> DataFrame:
 
 # --- LSH quality evaluation (measured precision/recall, not a claim) ---------
 
-_LSH_EVAL_ORACLE = f"""
-WITH {_JACCARD_CTES},
+def _lsh_eval_oracle(pair_pred: str = "TRUE") -> str:
+    """LSH-eval oracle with the pair-universe predicate (over aliases
+    ``a``/``b``) injected into BOTH pair generators — truth and LSH
+    candidates — so the sampled eval compares like against like."""
+    return f"""
+WITH {_jaccard_ctes(pair_pred)},
 sigs AS (
   SELECT doc_id, {_SIGS_SQL}
   FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled) t
@@ -496,7 +516,7 @@ candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bandkeys a JOIN bandkeys b
     ON a.band_no = b.band_no AND a.band_key = b.band_key
-  WHERE a.doc_id < b.doc_id
+  WHERE a.doc_id < b.doc_id AND ({pair_pred})
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b
@@ -530,8 +550,41 @@ FROM cls, tn, cn, vn
 """
 
 
-@register("dedup_lsh_eval", oracle=_LSH_EVAL_ORACLE, tags=("dedup",))
-def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+_LSH_EVAL_ORACLE = _lsh_eval_oracle()
+
+# Truth-set sampling for the eval (the similarity.py construction on the
+# document side): a pair is EVALUATED iff either endpoint's
+# content-addressed md5 coin (mod _EVAL_COIN_MOD) lands 0 — "were this
+# sampled doc's duplicates found?", measured over ~1−(1−1/mod)² of the
+# pair universe. Both pair generators (exact truth and LSH candidates)
+# apply the same predicate BEFORE their expensive verify/aggregate work.
+_EVAL_COIN_PREFIX = "evalq"
+_EVAL_COIN_MOD = 4
+
+
+def _eval_coin(col):
+    from .data_selection import _md5_coin
+
+    return _md5_coin(_EVAL_COIN_PREFIX, col, _EVAL_COIN_MOD) == 0
+
+
+def _eval_pair_pred(a, b):
+    return _eval_coin(a) | _eval_coin(b)
+
+
+def _sql_eval_coin(col: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{_EVAL_COIN_PREFIX}|' || "
+        f"CAST({col} AS VARCHAR)), 1, 8) AS BIGINT) % {_EVAL_COIN_MOD} = 0"
+    )
+
+
+_SQL_EVAL_PAIR_PRED = (
+    f"{_sql_eval_coin('a.doc_id')} OR {_sql_eval_coin('b.doc_id')}"
+)
+
+
+def _lsh_eval_df(spark: SparkSession, sf_dir: str, pair_pred=None) -> DataFrame:
     """Measured LSH quality: score the MinHash(8)×LSH(4×2) route against
     the exact capped-blocking Jaccard pairs on the same corpus — recall /
     candidate precision as NUMBERS, not docstring claims.
@@ -556,10 +609,16 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(_dup_corpus(spark, sf_dir))
     # UNFILTERED candidate jaccard: the verify threshold becomes a flag,
     # so n_cand and n_verified come from the same rows.
-    cv = _candidate_jaccard(_lsh_candidates(sh), sh).withColumn(
-        "in_c", F.lit(1)
+    cands = _lsh_candidates(sh)
+    if pair_pred is not None:
+        # sampled eval: restrict BOTH pair universes before the expensive
+        # verify (candidates here, the counting aggregate in
+        # _jaccard_pairs), with the identical predicate
+        cands = cands.filter(pair_pred(F.col("doc_a"), F.col("doc_b")))
+    cv = _candidate_jaccard(cands, sh).withColumn("in_c", F.lit(1))
+    truth = _jaccard_pairs(sh, pair_pred).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_t")
     )
-    truth = _jaccard_pairs(sh).select("doc_a", "doc_b", F.lit(1).alias("in_t"))
     j = cv.join(truth, ["doc_a", "doc_b"], "full_outer")
     # A truth pair that is also a candidate ALWAYS verifies (its exact
     # jaccard is ≥ 0.5 by the truth definition), so missed ≡ truth∧¬ver.
@@ -591,6 +650,31 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE tp * 1000000 DIV n_truth END AS BIGINT)"
         ).alias("recall_micro"),
     )
+
+
+@register("dedup_lsh_eval", oracle=_LSH_EVAL_ORACLE, tags=("dedup",))
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_eval_df(spark, sf_dir)
+
+
+dedup_lsh_eval.__doc__ = _lsh_eval_df.__doc__
+
+
+@register(
+    "dedup_lsh_eval_sampled",
+    oracle=_lsh_eval_oracle(_SQL_EVAL_PAIR_PRED),
+    tags=("dedup", "sample"),
+)
+def dedup_lsh_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_lsh_eval`` over a SAMPLED pair universe — the production
+    form of the measurement (r8 verdict ask #5): only pairs incident to a
+    coin-sampled doc (content-addressed md5 on doc_id, mod
+    ``_EVAL_COIN_MOD``) are evaluated, in BOTH the exact-Jaccard truth
+    route and the LSH candidate route, so the truth verify cost scales
+    with the sample while recall/precision stay unbiased estimates of the
+    full-universe numbers (each pair's inclusion is independent of its
+    truth/candidate status). Fully oracle-checked including the coin."""
+    return _lsh_eval_df(spark, sf_dir, _eval_pair_pred)
 
 
 # --- SimHash (rows-only: hex→int not expressible in the oracle dialect) --------------

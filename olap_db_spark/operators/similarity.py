@@ -32,6 +32,34 @@ from .kmeans import kmeans_fit_assign, sql_kmeans_assign
 _K = 5
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 
+# --- truth-set sampling ------------------------------------------------------------
+# The eval queries' truth routes are brute-force over the full vector
+# table per query — the right measurement at probe scales, but the first
+# thing a real deployment swaps (the round-8 verdict's ask #5): at
+# production scale recall is measured over a SAMPLED query set. The
+# sample is a content-addressed md5 coin on vec_id (the
+# data_selection._md5_coin construction — deterministic, engine-portable,
+# independent of partitioning), so the sampled eval stays fully
+# oracle-checkable and the truth cost drops from O(N·N) to O(N·N/mod).
+# The registered *_sampled queries pin mod=16 (≈ 31 queries at the
+# sf0.01 driver check); scale probes pass a larger mod so the query
+# count stays bounded as N grows.
+_EVAL_COIN_PREFIX = "annq"
+_EVAL_COIN_MOD = 16
+
+
+def _sampled_pred(mod: int = _EVAL_COIN_MOD):
+    from .data_selection import _md5_coin
+
+    return _md5_coin(_EVAL_COIN_PREFIX, F.col("vec_id"), mod) == 0
+
+
+def _sql_sampled_pred(col: str, mod: int = _EVAL_COIN_MOD) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{_EVAL_COIN_PREFIX}|' || "
+        f"CAST({col} AS VARCHAR)), 1, 8) AS BIGINT) % {mod} = 0"
+    )
+
 _KNN_ORACLE = f"""
 WITH q AS (
   SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
@@ -72,11 +100,14 @@ def _topk_per_query(scored: DataFrame) -> DataFrame:
     )
 
 
-def _knn_topk(q: DataFrame) -> DataFrame:
+def _knn_topk(q: DataFrame, query_pred=None) -> DataFrame:
     """Exact brute-force route over a ``_quantized`` frame — extracted so
     composing queries (``sim_ivf_eval``) share the upstream frame instead
-    of rebuilding the corpus subtree (round-7 lesson)."""
-    queries = q.filter(F.col("vec_id") < _N_QUERIES).select(
+    of rebuilding the corpus subtree (round-7 lesson). ``query_pred``
+    overrides the default fixed query set (truth-set sampling)."""
+    if query_pred is None:
+        query_pred = F.col("vec_id") < _N_QUERIES
+    queries = q.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qv_q"),
         F.col("n2").alias("n2_q"),
@@ -399,11 +430,16 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, _quantized(load(spark, sf_dir, "embeddings")))
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, q0: DataFrame) -> DataFrame:
+def _ivf_topk(
+    spark: SparkSession, sf_dir: str, q0: DataFrame, query_pred=None
+) -> DataFrame:
     """IVF route over a shared ``_quantized`` frame: k-means assignment
     join, integer-MEAN centroids, nprobe routing, exact re-rank within
     probed cells. Extracted (like ``_knn_topk``) so ``sim_ivf_eval``
-    composes both routes off one upstream frame."""
+    composes both routes off one upstream frame. ``query_pred`` overrides
+    the default fixed query set (truth-set sampling)."""
+    if query_pred is None:
+        query_pred = F.col("vec_id") < _N_QUERIES
     assigned = kmeans_fit_assign(spark, sf_dir)
     q = q0.join(assigned, "vec_id")
     # exact integer MEAN centroid per k-means cluster (truncating DIV —
@@ -419,7 +455,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, q0: DataFrame) -> DataFrame:
         .select("cluster", F.transform("ds", lambda s: s["sv"]).alias("cv"))
         .withColumn("cn2", norm2_q(F.col("cv")))
     )
-    queries = q.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = q.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qv_q"),
         F.col("n2").alias("n2_q"),
@@ -461,7 +497,10 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, q0: DataFrame) -> DataFrame:
 
 # --- measured IVF recall (the dedup_lsh_eval pattern on the vector side) ----------
 
-_IVF_EVAL_ORACLE = f"""
+def _ivf_eval_oracle(qpred: str) -> str:
+    """IVF-eval oracle with the query-set predicate (over alias ``qs``)
+    injected — the default fixed set or the sampled-coin set."""
+    return f"""
 WITH {sql_kmeans_assign()},
 n AS (SELECT vec_id, cluster, qv, {sql_dot('qv', 'qv')} AS n2 FROM assign{_KM_ITERS}),
 pos AS (SELECT cluster, unnest(qv) AS v, unnest(range(0, {_DIM})) AS d
@@ -479,7 +518,7 @@ routed AS (
              ORDER BY {sql_cosine(sql_dot('qs.qv', 'c.cv'), 'qs.n2', 'c.cn2')} DESC,
                       c.cluster) AS rn
     FROM n qs CROSS JOIN cent c
-    WHERE qs.vec_id < {_N_QUERIES}
+    WHERE {qpred}
   ) WHERE rn <= {_NPROBE}
 ),
 iscored AS (
@@ -500,7 +539,7 @@ tscored AS (
   SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
          {sql_cosine(sql_dot('qs.qv', 'c.qv'), 'qs.n2', 'c.n2')} AS cos_sim
   FROM n qs JOIN n c ON c.vec_id <> qs.vec_id
-  WHERE qs.vec_id < {_N_QUERIES}
+  WHERE {qpred}
 ),
 truth AS (
   SELECT query_id, neighbor_id, 1 AS in_t
@@ -522,8 +561,12 @@ GROUP BY query_id
 """
 
 
-@register("sim_ivf_eval", oracle=_IVF_EVAL_ORACLE, tags=("similarity", "eval"))
-def sim_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+_IVF_EVAL_ORACLE = _ivf_eval_oracle(f"qs.vec_id < {_N_QUERIES}")
+
+
+def _ivf_eval_df(
+    spark: SparkSession, sf_dir: str, query_pred=None
+) -> DataFrame:
     """Measured ANN quality — the ``dedup_lsh_eval`` pattern applied to
     the vector side: per-query recall@k=5 of the IVF route
     (``_ivf_topk``: k-means cells, integer-MEAN centroids, nprobe=4)
@@ -545,10 +588,10 @@ def sim_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector table scanned once and never shuffled — the measurement
     price, exactly as in ``dedup_lsh_eval``, is the point of the query."""
     q0 = _quantized(load(spark, sf_dir, "embeddings"))
-    truth = _knn_topk(q0).select(
+    truth = _knn_topk(q0, query_pred).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_t")
     )
-    ivf = _ivf_topk(spark, sf_dir, q0).select(
+    ivf = _ivf_topk(spark, sf_dir, q0, query_pred).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_i")
     )
     j = truth.join(ivf, ["query_id", "neighbor_id"], "full_outer")
@@ -573,6 +616,32 @@ def sim_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ivf_eval", oracle=_IVF_EVAL_ORACLE, tags=("similarity", "eval"))
+def sim_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_eval_df(spark, sf_dir)
+
+
+sim_ivf_eval.__doc__ = _ivf_eval_df.__doc__
+
+
+@register(
+    "sim_ivf_eval_sampled",
+    oracle=_ivf_eval_oracle(_sql_sampled_pred("qs.vec_id")),
+    tags=("similarity", "eval", "sample"),
+)
+def sim_ivf_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_ivf_eval`` over a SAMPLED query set — the production form of
+    the recall measurement (r8 verdict ask #5): queries are the vectors
+    whose content-addressed md5 coin (mod ``_EVAL_COIN_MOD``) lands 0, so
+    the brute-force truth route costs O(N·N/mod) instead of O(N·N) and
+    the whole eval (sampling included) still hash-checks against the
+    oracle. Scale probes pass a larger mod through ``_ivf_eval_df`` /
+    ``_sampled_pred`` to hold the query count roughly constant as N
+    grows; recall estimates concentrate as 1/sqrt(queries) regardless of
+    corpus size."""
+    return _ivf_eval_df(spark, sf_dir, _sampled_pred())
+
+
 # --- product quantization (PQ) ANN -----------------------------------------------
 
 _PQ_M = 8  # subspaces
@@ -584,7 +653,10 @@ _PQ_SUBD2 = (
     "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2])))"
 )
 
-_PQ_CTES = f"""q AS (
+def _pq_ctes(qpred_v: str) -> str:
+    """PQ pipeline CTEs with the LUT query-set predicate (over alias
+    ``v``) injected — fixed set or sampled coin."""
+    return f"""q AS (
   SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
 ),
 seeds AS (SELECT vec_id FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_PQ_CODES}),
@@ -614,7 +686,7 @@ lut AS (
   SELECT v.vec_id AS query_id, v.s, c.code,
          {_PQ_SUBD2.format(a='v.v8', b='c.cv8')} AS part_d2
   FROM v_sub v JOIN cb_sub c ON c.s = v.s
-  WHERE v.vec_id < {_N_QUERIES}
+  WHERE {qpred_v}
 ),
 scored AS (
   SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.part_d2) AS BIGINT) AS pq_d2
@@ -636,6 +708,9 @@ rerank AS (
   JOIN q qq ON qq.vec_id = s.query_id
   JOIN q nq ON nq.vec_id = s.neighbor_id
 )"""
+
+
+_PQ_CTES = _pq_ctes(f"v.vec_id < {_N_QUERIES}")
 
 _PQ_ORACLE = f"""
 WITH {_PQ_CTES}
@@ -681,10 +756,13 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_topk(spark, q)
 
 
-def _pq_topk(spark: SparkSession, q: DataFrame) -> DataFrame:
+def _pq_topk(spark: SparkSession, q: DataFrame, query_pred=None) -> DataFrame:
     """PQ route over a ``(vec_id, qv)`` frame — extracted (like
     ``_knn_topk``/``_ivf_topk``) so ``sim_pq_eval`` composes it against
-    the exact-L2 truth off one shared upstream frame."""
+    the exact-L2 truth off one shared upstream frame. ``query_pred``
+    overrides the default fixed query set (truth-set sampling)."""
+    if query_pred is None:
+        query_pred = F.col("vec_id") < _N_QUERIES
     # codebook: the _PQ_CODES md5-smallest vec_ids (tiny driver collect —
     # this is index BUILD; the searched data never reaches the driver)
     seed_ids = [
@@ -717,7 +795,7 @@ def _pq_topk(spark: SparkSession, q: DataFrame) -> DataFrame:
         .select("vec_id", "s", "code")
     )
     lut = (
-        v_sub.filter(F.col("vec_id") < _N_QUERIES)
+        v_sub.filter(query_pred)
         .join(F.broadcast(cb_sub), "s")
         .select(
             F.col("vec_id").alias("query_id"),
@@ -740,7 +818,7 @@ def _pq_topk(spark: SparkSession, q: DataFrame) -> DataFrame:
         .filter(F.col("rn") <= _PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    qq = q.filter(F.col("vec_id") < _N_QUERIES).select(
+    qq = q.filter(query_pred).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qv_q")
     )
     nn = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qv_n"))
@@ -758,11 +836,13 @@ def _pq_topk(spark: SparkSession, q: DataFrame) -> DataFrame:
 # --- measured PQ recall (the sim_ivf_eval twin on the L2 metric) ------------------
 
 
-def _l2_topk(q: DataFrame) -> DataFrame:
+def _l2_topk(q: DataFrame, query_pred=None) -> DataFrame:
     """Exact squared-L2 brute-force top-_K over a ``(vec_id, qv)`` frame
     — the ground truth the PQ route approximates (queries broadcast, the
     vector table scanned once, never shuffled)."""
-    qq = q.filter(F.col("vec_id") < _N_QUERIES).select(
+    if query_pred is None:
+        query_pred = F.col("vec_id") < _N_QUERIES
+    qq = q.filter(query_pred).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qv_q")
     )
     nn = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qv_n"))
@@ -779,8 +859,11 @@ def _l2_topk(q: DataFrame) -> DataFrame:
     )
 
 
-_PQ_EVAL_ORACLE = f"""
-WITH {_PQ_CTES},
+def _pq_eval_oracle(qpred_v: str, qpred_a: str) -> str:
+    """PQ-eval oracle with the query-set predicate injected into the PQ
+    route's LUT (alias ``v``) and the exact-L2 truth (alias ``a``)."""
+    return f"""
+WITH {_pq_ctes(qpred_v)},
 pq AS (
   SELECT query_id, neighbor_id, 1 AS in_p
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -792,7 +875,7 @@ tscored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          CAST({_PQ_SUBD2.format(a='a.qv', b='b.qv')} AS BIGINT) AS l2_d2
   FROM q a JOIN q b ON b.vec_id <> a.vec_id
-  WHERE a.vec_id < {_N_QUERIES}
+  WHERE {qpred_a}
 ),
 truth AS (
   SELECT query_id, neighbor_id, 1 AS in_t
@@ -814,8 +897,14 @@ GROUP BY query_id
 """
 
 
-@register("sim_pq_eval", oracle=_PQ_EVAL_ORACLE, tags=("similarity", "eval"))
-def sim_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+_PQ_EVAL_ORACLE = _pq_eval_oracle(
+    f"v.vec_id < {_N_QUERIES}", f"a.vec_id < {_N_QUERIES}"
+)
+
+
+def _pq_eval_df(
+    spark: SparkSession, sf_dir: str, query_pred=None
+) -> DataFrame:
     """Measured PQ quality — ``sim_ivf_eval``'s twin on the L2 metric:
     per-query recall@5 of the PQ route (``_pq_topk``: 8×16 codebooks,
     ADC shortlist 50, exact re-rank) against the exact squared-L2
@@ -828,8 +917,10 @@ def sim_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair key, every count folded in one map-side-combinable aggregate."""
     e = load(spark, sf_dir, "embeddings")
     q = e.select("vec_id", quantize(F.col("embedding")).alias("qv"))
-    truth = _l2_topk(q).select("query_id", "neighbor_id", F.lit(1).alias("in_t"))
-    pq = _pq_topk(spark, q).select(
+    truth = _l2_topk(q, query_pred).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_t")
+    )
+    pq = _pq_topk(spark, q, query_pred).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_p")
     )
     j = truth.join(pq, ["query_id", "neighbor_id"], "full_outer")
@@ -852,3 +943,26 @@ def sim_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE n_hit * 1000000 DIV n_truth END AS BIGINT)"
         ).alias("recall_micro"),
     )
+
+
+@register("sim_pq_eval", oracle=_PQ_EVAL_ORACLE, tags=("similarity", "eval"))
+def sim_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_eval_df(spark, sf_dir)
+
+
+sim_pq_eval.__doc__ = _pq_eval_df.__doc__
+
+
+@register(
+    "sim_pq_eval_sampled",
+    oracle=_pq_eval_oracle(
+        _sql_sampled_pred("v.vec_id"), _sql_sampled_pred("a.vec_id")
+    ),
+    tags=("similarity", "eval", "sample"),
+)
+def sim_pq_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_pq_eval`` over the SAMPLED query set (same coin as
+    ``sim_ivf_eval_sampled``): the exact-L2 truth route costs
+    O(N·N/mod), the measurement semantics and the full oracle check are
+    unchanged — the production form of the PQ recall eval."""
+    return _pq_eval_df(spark, sf_dir, _sampled_pred())

@@ -75,8 +75,11 @@ _PRIORITY: tuple[str, ...] = (
     # they are the ones displaced past slot 50 as new round-9 queries
     # claim never-checked slots at the top of the tuple.
     #
-    # Tier 0 — NEW in round 9, never driver-checked (added as round-9
-    # work lands; each new name displaces one tier-2 row past slot 50).
+    # Tier 0 — NEW in round 9, never driver-checked (each displaces one
+    # tier-2 row past slot 50): the sampled-truth-set eval variants.
+    "sim_ivf_eval_sampled",
+    "sim_pq_eval_sampled",
+    "dedup_lsh_eval_sampled",
     # Tier 1 — the 7 rows whose latest green is round 5 (hard-stale).
     "ts_user_lifetime",
     "mm_binary_features",
