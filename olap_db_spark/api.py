@@ -48,6 +48,32 @@ _DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# Table-maintenance statements (r8 verdict stretch item a): the
+# compaction / versioned-sink surface, addressable from a remote client
+# through the same SQL endpoint that serves queries — spellings follow
+# the closest established analog (ClickHouse OPTIMIZE TABLE; Delta
+# VACUUM / RESTORE ... VERSION AS OF / DESCRIBE HISTORY).
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+'(?P<path>[^']+)'"
+    r"\s+PARTITION\s+BY\s+(?P<pcol>\w+)"
+    r"(?:\s+TARGET_BYTES\s+(?P<target>\d+))?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+'(?P<path>[^']+)'"
+    r"(?:\s+KEEP\s+(?P<keep>\d+))?"
+    r"(?:\s+GRACE\s+(?P<grace>\d+))?\s*$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+'(?P<path>[^']+)'"
+    r"\s+TO\s+VERSION\s+(?P<version>\d+)\s*$",
+    re.IGNORECASE,
+)
+_SHOW_VERSIONS_RE = re.compile(
+    r"^\s*SHOW\s+VERSIONS\s+FROM\s+'(?P<path>[^']+)'\s*$", re.IGNORECASE
+)
+
 
 class OlapEngine:
     """Session + catalog + the dual SQL/DataFrame query surface."""
@@ -79,6 +105,21 @@ class OlapEngine:
           overwrite mode, so a partitioned INSERT OVERWRITE replaces only
           the partitions the query produces (Spark's static default wipes
           the whole table — never what an OLAP append store wants).
+
+        Table maintenance (same routing, so a remote HTTP client can run
+        the whole maintenance surface, not just queries):
+
+        - ``OPTIMIZE '<path>' PARTITION BY p [TARGET_BYTES n]`` →
+          :func:`~.sources.writers.compact_partitions` (small-file
+          compaction; one row per compacted partition).
+        - ``VACUUM '<path>' [KEEP n] [GRACE seconds]`` →
+          :func:`~.sources.versioned.vacuum` (one row per deleted
+          version).
+        - ``RESTORE '<path>' TO VERSION n`` →
+          :func:`~.sources.versioned.rollback` (O(1) pointer truncation).
+        - ``SHOW VERSIONS FROM '<path>'`` →
+          :func:`~.sources.versioned.versions` (committed chain +
+          head flag).
         """
         m = _UPSERT_RE.match(query)
         if m:
@@ -104,6 +145,53 @@ class OlapEngine:
             return self.spark.createDataFrame(
                 [(str(p),) for p in sorted(parts, key=str)],
                 "rewritten_partition string",
+            )
+        mo = _OPTIMIZE_RE.match(query)
+        if mo:
+            from .sources.writers import compact_partitions
+
+            kw = (
+                {"target_bytes": int(mo.group("target"))}
+                if mo.group("target")
+                else {}
+            )
+            parts = compact_partitions(
+                self.spark, mo.group("path"), mo.group("pcol"), **kw
+            )
+            return self.spark.createDataFrame(
+                [(str(p),) for p in sorted(parts, key=str)],
+                "compacted_partition string",
+            )
+        mv = _VACUUM_RE.match(query)
+        if mv:
+            from .sources import versioned
+
+            kw = {}
+            if mv.group("keep"):
+                kw["keep"] = int(mv.group("keep"))
+            if mv.group("grace") is not None:
+                kw["grace_seconds"] = float(mv.group("grace"))
+            deleted = versioned.vacuum(mv.group("path"), **kw)
+            return self.spark.createDataFrame(
+                [(int(v),) for v in deleted], "deleted_version long"
+            )
+        mr = _RESTORE_RE.match(query)
+        if mr:
+            from .sources import versioned
+
+            v = versioned.rollback(mr.group("path"), int(mr.group("version")))
+            return self.spark.createDataFrame(
+                [(int(v),)], "restored_version long"
+            )
+        ms = _SHOW_VERSIONS_RE.match(query)
+        if ms:
+            from .sources import versioned
+
+            chain = versioned.versions(ms.group("path"))
+            head = chain[-1] if chain else None
+            return self.spark.createDataFrame(
+                [(int(v), v == head) for v in chain],
+                "version long, is_head boolean",
             )
         if _INSERT_OVERWRITE_RE.match(query):
             conf_key = "spark.sql.sources.partitionOverwriteMode"

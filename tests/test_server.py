@@ -288,6 +288,62 @@ def test_upsert_partition_scoped_over_the_wire(server, tmp_path):
     assert get(f"SELECT k, v FROM parquet.`{sink}` WHERE p = 2").strip() == "20\t1"
 
 
+def test_maintenance_surface_over_the_wire(server, spark, tmp_path):
+    """r8 VERDICT stretch (a): the maintenance surface — versioned-table
+    history, rollback, vacuum, small-file compaction — is reachable from
+    a remote client through the same SQL endpoint as queries."""
+    import pathlib
+    import urllib.parse
+    import urllib.request
+
+    from olap_db_spark.sources import versioned as V
+
+    def get(sql: str) -> str:
+        q = urllib.parse.quote(sql)
+        return urllib.request.urlopen(
+            f"http://{server.host}:{server.port}/?query={q}", timeout=120
+        ).read().decode()
+
+    # --- versioned table: history / restore / vacuum ---
+    tbl = str(tmp_path / "vtbl")
+    for val in ("a", "b", "c"):
+        V.snapshot_write(
+            spark, spark.createDataFrame([(1, val)], "k INT, val STRING"), tbl
+        )
+    assert get(f"SHOW VERSIONS FROM '{tbl}'").splitlines() == [
+        "1\tFalse",
+        "2\tFalse",
+        "3\tTrue",
+    ]
+    assert get(f"RESTORE '{tbl}' TO VERSION 2").strip() == "2"
+    assert V.current_version(tbl) == 2
+    # vacuum keep=1 grace=0: reclaims v1 (history) and v3 (abandoned)
+    assert get(f"VACUUM '{tbl}' KEEP 1 GRACE 0").splitlines() == ["1", "3"]
+    assert V.versions(tbl) == [2]
+
+    # --- fragmented partitioned table: OPTIMIZE compacts it ---
+    frag = str(tmp_path / "frag")
+    for i in range(4):
+        spark.createDataFrame(
+            [(1, i)], "p INT, x INT"
+        ).write.mode("append").partitionBy("p").parquet(frag)
+    assert get(f"OPTIMIZE '{frag}' PARTITION BY p").strip() == "1"
+    files = [
+        f
+        for f in pathlib.Path(frag, "p=1").glob("*.parquet")
+        if not f.name.startswith((".", "_"))
+    ]
+    assert len(files) == 1
+    assert get(
+        f"SELECT COUNT(*) AS n FROM parquet.`{frag}`"
+    ).strip() == "4"
+    # bad statements still surface as clean 400s
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        get(f"RESTORE '{tbl}' TO VERSION 99")
+
+
 def test_non_loopback_bind_refused(spark):
     """The unauthenticated endpoint refuses external binds without the
     explicit opt-in (round-2 ADVICE)."""
