@@ -742,12 +742,9 @@ LIMIT 10
 """
 
 
-@register(
-    "sim_hybrid_rrf_ivf",
-    oracle=_HYBRID_IVF_ORACLE,
-    tags=("similarity", "text", "llm"),
-)
-def sim_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hybrid_ivf_df(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """Hybrid retrieval with the semantic side on the IVF route: the
     "swap at web scale" variant of ``text_hybrid_rrf``, oracle-checked.
 
@@ -770,13 +767,13 @@ def sim_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lex = _bm25_lex_top50(spark, sf_dir)
 
-    assigned = kmeans_fit_assign(spark, sf_dir)
-    nv = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", quantize(F.col("embedding")).alias("qv"))
-        .join(assigned, "vec_id")
-        .withColumn("n2", norm2_q(F.col("qv")))
-    )
+    if emb is None:
+        emb = load(spark, sf_dir, "embeddings")
+    qvecs = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    assigned = kmeans_fit_assign(spark, sf_dir, vecs=qvecs)
+    nv = qvecs.join(
+        assigned.select("vec_id", "cluster"), "vec_id"
+    ).withColumn("n2", norm2_q(F.col("qv")))
     # exact integer MEAN centroid per cluster (truncating DIV, bounded
     # components — no int64 overflow at any cluster size; same shape as
     # sim_ivf_search's index build)
@@ -824,3 +821,15 @@ def sim_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("sem_doc_id"), "r_sem")
     )
     return _rrf_fuse(lex, sem)
+
+
+@register(
+    "sim_hybrid_rrf_ivf",
+    oracle=_HYBRID_IVF_ORACLE,
+    tags=("similarity", "text", "llm"),
+)
+def sim_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hybrid_ivf_df(spark, sf_dir)
+
+
+sim_hybrid_rrf_ivf.__doc__ = _hybrid_ivf_df.__doc__

@@ -211,3 +211,60 @@ def test_streaming_ohlc_equals_batch(spark, events_stream_dir):
     for k, v in got.items():
         assert want.get(k) == v, k
     assert len(got) >= len(want) - 5  # tail windows may be held back
+
+
+def test_streaming_hybrid_retrieval_equals_batch(spark, tmp_path):
+    """r8 VERDICT stretch (b): per-trigger hybrid retrieval over a
+    continuously appended embedding corpus. The embeddings arrive in two
+    file-stream triggers; each trigger appends a manifest-lite delta to
+    the versioned corpus and commits the fused top-10 as one atomic
+    results version. After the last trigger the results HEAD must equal
+    the BATCH sim_hybrid_rrf_ivf over the full table (stream == batch),
+    and replaying a committed batch id must commit nothing."""
+    from olap_db_spark.operators.relevance import sim_hybrid_rrf_ivf
+    from olap_db_spark.sources import versioned as V
+    from olap_db_spark.streaming.retrieval import hybrid_retrieval_handler
+
+    # split the embeddings fixture into two arrival files, vec_id 0 (the
+    # query anchor) in the first so every trigger's retrieval is well-posed
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    emb.filter("vec_id < 250").coalesce(1).write.parquet(str(src / "f1.parquet"))
+    emb.filter("vec_id >= 250").coalesce(1).write.parquet(str(src / "f2.parquet"))
+
+    corpus = str(tmp_path / "corpus")
+    results = str(tmp_path / "results")
+    handler = hybrid_retrieval_handler(SF, corpus, results)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert len(V.versions(corpus)) == 2, "one corpus delta per trigger"
+    assert V.read_head(spark, corpus).count() == emb.count()
+    assert len(V.versions(results)) == 2, "one results version per trigger"
+
+    got = sorted(tuple(r) for r in V.read_head(spark, results).collect())
+    want = sorted(tuple(r) for r in sim_hybrid_rrf_ivf(spark, SF).collect())
+    assert got == want, "stream != batch on the full corpus"
+
+    # replay of a committed trigger: neither table commits anything
+    handler(emb.filter("vec_id >= 250"), 1)
+    assert len(V.versions(corpus)) == 2
+    assert len(V.versions(results)) == 2
+    # a crash BETWEEN the two commits heals on replay: wipe the results
+    # marker's visibility by replaying a batch id committed to the corpus
+    # only
+    handler(emb.filter("vec_id >= 250"), 7)  # corpus gains a (dup) delta
+    assert len(V.versions(corpus)) == 3
+    assert len(V.versions(results)) == 3, "results not re-derived on replay"
