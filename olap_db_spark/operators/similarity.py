@@ -37,27 +37,43 @@ _N_QUERIES = 5  # vec_id < 5 are the query vectors
 # table per query — the right measurement at probe scales, but the first
 # thing a real deployment swaps (the round-8 verdict's ask #5): at
 # production scale recall is measured over a SAMPLED query set. The
-# sample is a content-addressed md5 coin on vec_id (the
-# data_selection._md5_coin construction — deterministic, engine-portable,
-# independent of partitioning), so the sampled eval stays fully
-# oracle-checkable and the truth cost drops from O(N·N) to O(N·N/mod).
-# The registered *_sampled queries pin mod=16 (≈ 31 queries at the
-# sf0.01 driver check); scale probes pass a larger mod so the query
-# count stays bounded as N grows.
+# sample is HASH-RANK: the _EVAL_SAMPLE_K vectors with the smallest
+# md5('annq|' || vec_id) — content-addressed (a pure function of vec_id,
+# independent of partitioning; the same construction as the PQ codebook
+# seeds and the k-means init), so the sampled eval stays fully
+# oracle-checkable. A rank sample pins the query COUNT, not a fraction:
+# a fixed-modulus coin made the query set grow with N (measured at the
+# sf1 bench: 1250 sampled queries → the truth route went quadratic
+# again, 183 s), while K queries hold the truth cost at exactly O(K·N)
+# — linear in the corpus at every scale, with recall estimates
+# concentrating as 1/sqrt(K) regardless of N. Scale probes pass a
+# smaller K to trade eval precision for probe time explicitly.
 _EVAL_COIN_PREFIX = "annq"
-_EVAL_COIN_MOD = 16
+_EVAL_SAMPLE_K = 100
 
 
-def _sampled_pred(mod: int = _EVAL_COIN_MOD):
-    from .data_selection import _md5_coin
+def _sampled_ids(q: DataFrame, k: int = _EVAL_SAMPLE_K) -> list[int]:
+    """The k hash-smallest vec_ids — one distributed top-k
+    (TakeOrderedAndProject); only k ids reach the driver."""
+    rows = (
+        q.select(
+            "vec_id",
+            F.md5(
+                F.concat_ws("|", F.lit(_EVAL_COIN_PREFIX), F.col("vec_id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    return [r["vec_id"] for r in rows]
 
-    return _md5_coin(_EVAL_COIN_PREFIX, F.col("vec_id"), mod) == 0
 
-
-def _sql_sampled_pred(col: str, mod: int = _EVAL_COIN_MOD) -> str:
+def _sql_sampled_in(col: str, src: str, k: int = _EVAL_SAMPLE_K) -> str:
+    """SQL twin: membership in the k hash-smallest vec_ids of CTE ``src``."""
     return (
-        f"CAST('0x' || substr(md5('{_EVAL_COIN_PREFIX}|' || "
-        f"CAST({col} AS VARCHAR)), 1, 8) AS BIGINT) % {mod} = 0"
+        f"{col} IN (SELECT vec_id FROM {src} ORDER BY "
+        f"md5('{_EVAL_COIN_PREFIX}|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})"
     )
 
 _KNN_ORACLE = f"""
@@ -565,7 +581,7 @@ _IVF_EVAL_ORACLE = _ivf_eval_oracle(f"qs.vec_id < {_N_QUERIES}")
 
 
 def _ivf_eval_df(
-    spark: SparkSession, sf_dir: str, query_pred=None
+    spark: SparkSession, sf_dir: str, query_pred=None, query_k: int | None = None
 ) -> DataFrame:
     """Measured ANN quality — the ``dedup_lsh_eval`` pattern applied to
     the vector side: per-query recall@k=5 of the IVF route
@@ -588,6 +604,8 @@ def _ivf_eval_df(
     vector table scanned once and never shuffled — the measurement
     price, exactly as in ``dedup_lsh_eval``, is the point of the query."""
     q0 = _quantized(load(spark, sf_dir, "embeddings"))
+    if query_k is not None:
+        query_pred = F.col("vec_id").isin(_sampled_ids(q0, query_k))
     truth = _knn_topk(q0, query_pred).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_t")
     )
@@ -626,20 +644,20 @@ sim_ivf_eval.__doc__ = _ivf_eval_df.__doc__
 
 @register(
     "sim_ivf_eval_sampled",
-    oracle=_ivf_eval_oracle(_sql_sampled_pred("qs.vec_id")),
+    oracle=_ivf_eval_oracle(_sql_sampled_in("qs.vec_id", "n")),
     tags=("similarity", "eval", "sample"),
 )
 def sim_ivf_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``sim_ivf_eval`` over a SAMPLED query set — the production form of
-    the recall measurement (r8 verdict ask #5): queries are the vectors
-    whose content-addressed md5 coin (mod ``_EVAL_COIN_MOD``) lands 0, so
-    the brute-force truth route costs O(N·N/mod) instead of O(N·N) and
-    the whole eval (sampling included) still hash-checks against the
-    oracle. Scale probes pass a larger mod through ``_ivf_eval_df`` /
-    ``_sampled_pred`` to hold the query count roughly constant as N
-    grows; recall estimates concentrate as 1/sqrt(queries) regardless of
-    corpus size."""
-    return _ivf_eval_df(spark, sf_dir, _sampled_pred())
+    the recall measurement (r8 verdict ask #5): queries are the
+    ``_EVAL_SAMPLE_K`` vectors with the hash-smallest content-addressed
+    md5 rank, so the brute-force truth route costs exactly O(K·N) — the
+    query COUNT, and with it the measurement price per corpus row, is
+    pinned at every scale (a fixed-fraction coin grew the query set with
+    N and went quadratic again at the sf1 bench). The whole eval,
+    sampling included, hash-checks against the oracle; scale probes pass
+    a smaller K to trade eval precision for probe time explicitly."""
+    return _ivf_eval_df(spark, sf_dir, query_k=_EVAL_SAMPLE_K)
 
 
 # --- product quantization (PQ) ANN -----------------------------------------------
@@ -903,7 +921,7 @@ _PQ_EVAL_ORACLE = _pq_eval_oracle(
 
 
 def _pq_eval_df(
-    spark: SparkSession, sf_dir: str, query_pred=None
+    spark: SparkSession, sf_dir: str, query_pred=None, query_k: int | None = None
 ) -> DataFrame:
     """Measured PQ quality — ``sim_ivf_eval``'s twin on the L2 metric:
     per-query recall@5 of the PQ route (``_pq_topk``: 8×16 codebooks,
@@ -917,6 +935,8 @@ def _pq_eval_df(
     pair key, every count folded in one map-side-combinable aggregate."""
     e = load(spark, sf_dir, "embeddings")
     q = e.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    if query_k is not None:
+        query_pred = F.col("vec_id").isin(_sampled_ids(q, query_k))
     truth = _l2_topk(q, query_pred).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_t")
     )
@@ -956,13 +976,13 @@ sim_pq_eval.__doc__ = _pq_eval_df.__doc__
 @register(
     "sim_pq_eval_sampled",
     oracle=_pq_eval_oracle(
-        _sql_sampled_pred("v.vec_id"), _sql_sampled_pred("a.vec_id")
+        _sql_sampled_in("v.vec_id", "q"), _sql_sampled_in("a.vec_id", "q")
     ),
     tags=("similarity", "eval", "sample"),
 )
 def sim_pq_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``sim_pq_eval`` over the SAMPLED query set (same coin as
-    ``sim_ivf_eval_sampled``): the exact-L2 truth route costs
-    O(N·N/mod), the measurement semantics and the full oracle check are
+    """``sim_pq_eval`` over the SAMPLED query set (same hash-rank K as
+    ``sim_ivf_eval_sampled``): the exact-L2 truth route costs exactly
+    O(K·N), the measurement semantics and the full oracle check are
     unchanged — the production form of the PQ recall eval."""
-    return _pq_eval_df(spark, sf_dir, _sampled_pred())
+    return _pq_eval_df(spark, sf_dir, query_k=_EVAL_SAMPLE_K)

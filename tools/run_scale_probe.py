@@ -32,14 +32,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def _sampled_fn(base: str, mod: int):
+    # vector evals: @K = hash-rank query-set size; doc-pair eval: @mod =
+    # coin modulus (constant pair fraction over a production-blocked
+    # truth route — no quadratic risk there)
     if base == "sim_ivf_eval_sampled":
-        from olap_db_spark.operators.similarity import _ivf_eval_df, _sampled_pred
+        from olap_db_spark.operators.similarity import _ivf_eval_df
 
-        return lambda spark, sf: _ivf_eval_df(spark, sf, _sampled_pred(mod))
+        return lambda spark, sf: _ivf_eval_df(spark, sf, query_k=mod)
     if base == "sim_pq_eval_sampled":
-        from olap_db_spark.operators.similarity import _pq_eval_df, _sampled_pred
+        from olap_db_spark.operators.similarity import _pq_eval_df
 
-        return lambda spark, sf: _pq_eval_df(spark, sf, _sampled_pred(mod))
+        return lambda spark, sf: _pq_eval_df(spark, sf, query_k=mod)
     if base == "dedup_lsh_eval_sampled":
         from olap_db_spark.operators.data_selection import _md5_coin
         from olap_db_spark.operators.fuzzy_dedup import (
