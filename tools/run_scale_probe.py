@@ -1,24 +1,33 @@
-"""Single-session scale-probe runner: time a list of registered queries
-(one pass each, after a session warmup) at a given .scaledata dir and
-write the headline artifact — so BENCH_sf10_headline.json /
-BENCH_sf100_headline.json totals are like-for-like numbers from ONE
-quiet session on the final plans, not sums over rows probed in different
-sessions (r8 VERDICT item 6).
+"""Scale-probe runner: time a list of registered queries at a given
+.scaledata dir and write the headline artifact — one quiet sequential
+pass on the final plans, ONE FRESH SESSION PER ROW (each row runs in its
+own subprocess), so BENCH_sf10_headline.json / BENCH_sf100_headline.json
+are like-for-like in the sense that actually matters: no row's number
+depends on which rows ran before it (r8 VERDICT item 6).
+
+Why per-row sessions and not one shared session: the output-bound dedup
+rows leave ~tens of GB of shuffle files at sf10+, and a row that follows
+them in the same session reads 2-4x its fresh-session time
+(scale_salted_skew_join: 70.8 s late in a shared session, 16.8 s fresh)
+— clearCache() plus forced ContextCleaner GC recovers most rows but not
+the ones right behind a 300-s shuffle monster. A shared-session total
+makes row order a hidden variable; per-row sessions at the same code,
+same data, same quiet host make every number independently
+reproducible, and the total is still one sequential pass.
 
 Usage:
     python tools/run_scale_probe.py <sf_dir> <out.json> <sf_label> \
         [--note "..."] name [name ...]
 
-Names are registry names; the sampled-eval variants accept a probe-scale
-coin modulus suffix (``sim_ivf_eval_sampled@2048``) and are recorded
-under the bare name — the per-scale modulus is the sampled evals' design
-(hold the query COUNT roughly constant as the corpus grows) and is
-recorded in the artifact note.
+Names are registry names; the sampled-eval variants take a probe-scale
+setting suffix (vector evals ``sim_ivf_eval_sampled@25`` = hash-rank K;
+``dedup_lsh_eval_sampled@64`` = pair-coin modulus) and are recorded
+under the bare name with the setting in the artifact note.
 
 Protocol (memory: bench noise discipline): quiet host, nothing else
-running; one warmup action on the session before the first timed row;
-fn() + noop-sink save timed together (eager-fixpoint operators do work
-at call time).
+running; per row, one warmup action on its fresh session before the
+timed fn()+noop-sink save (eager-fixpoint operators do work at call
+time, so both are timed together).
 """
 
 from __future__ import annotations
@@ -59,17 +68,8 @@ def _sampled_fn(base: str, mod: int):
     raise SystemExit(f"no probe-scale variant for {base!r}")
 
 
-def main() -> None:
-    args = sys.argv[1:]
-    sf_dir, out_path, sf_label = args[0], args[1], float(args[2])
-    args = args[3:]
-    note = ""
-    if args and args[0] == "--note":
-        note, args = args[1], args[2:]
-    names = args
-    if not names:
-        raise SystemExit("no query names given")
-
+def _run_one(sf_dir: str, name: str) -> None:
+    """Worker mode: time one query on a fresh session, print one line."""
     from pyspark.sql import SparkSession
 
     from olap_db_spark.registry import query_fns
@@ -80,30 +80,57 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .appName("scale-probe")
+        .appName(f"scale-probe-{name}")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    fns = query_fns()
-
-    resolved = []
-    for name in names:
-        if "@" in name:
-            base, mod = name.split("@", 1)
-            resolved.append((base, _sampled_fn(base, int(mod))))
-        else:
-            resolved.append((name, fns[name]))
-
-    # session warmup: one tiny action so JVM/codegen startup never lands
-    # inside the first timed row
+    if "@" in name:
+        base, setting = name.split("@", 1)
+        fn = _sampled_fn(base, int(setting))
+    else:
+        fn = query_fns()[name]
+    # warmup: one tiny action so JVM/codegen startup never lands inside
+    # the timed row
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    print(f"##RESULT {name.split('@')[0]} {time.time() - t0:.3f}", flush=True)
+
+
+def main() -> None:
+    import subprocess
+
+    args = sys.argv[1:]
+    if args and args[0] == "--worker":
+        _run_one(args[1], args[2])
+        return
+    sf_dir, out_path, sf_label = args[0], args[1], float(args[2])
+    args = args[3:]
+    note = ""
+    if args and args[0] == "--note":
+        note, args = args[1], args[2:]
+    names = args
+    if not names:
+        raise SystemExit("no query names given")
 
     timings: dict[str, float] = {}
-    for name, fn in resolved:
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"{name}: {timings[name]:.1f} s", flush=True)
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--worker", sf_dir, name],
+            capture_output=True,
+            text=True,
+        )
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("##RESULT ")),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise SystemExit(f"probe row {name} failed (rc={proc.returncode})")
+        _, bare, sec = line.split()
+        timings[bare] = round(float(sec), 3)
+        print(f"{bare}: {timings[bare]:.1f} s", flush=True)
 
     artifact = {
         "sf": sf_label,
