@@ -1284,9 +1284,21 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = keyed.groupBy("tkey").agg(
         F.min("doc_id").alias("node"), F.count(F.lit(1)).alias("csize")
     )
+    # The explicit repartition is a PLANNER-BUG GUARD, found by the sf100
+    # probe (and reproducible at sf0.001 under autoBroadcastJoinThreshold
+    # =-1): the optimizer pushes this semi-join into _dup_corpus's UNION
+    # branches, each branch comes out hash-partitioned(doc_id, P), and
+    # Spark 4.1 then treats the 2P-partition union as satisfying the
+    # downstream shingle aggregate's doc_id distribution — skipping the
+    # required exchange and crashing the sort-merge zip with "Can't zip
+    # RDDs with unequal numbers of partitions: List(P, 2P)" (had it
+    # executed, same-key groups split across the two concatenated halves
+    # would have DUPLICATED aggregate rows). One explicit exchange of the
+    # tiny rep frame (O(distinct texts)) restores a sound partitioning;
+    # the aggregate reuses it, so no net exchange is added.
     reps = corpus.join(
         classes.select(F.col("node").alias("doc_id")), "doc_id", "left_semi"
-    )
+    ).repartition("doc_id")
     sh = _shingled(reps)
     pairs = (
         _candidate_jaccard(_lsh_candidates(sh), sh)

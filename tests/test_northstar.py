@@ -650,3 +650,25 @@ def test_domain_top_k_salt_invariance_on_skew(spark):
     # sizing rule: the derive is ceil(max_domain/target); at 900 rows it
     # must stay 1 (no pointless salting of small data)
     assert math.ceil(900 / _CAP_TARGET_TASK_ROWS) <= 1
+
+
+def test_minhash_groups_strategy_invariant(spark):
+    """Planner-bug guard (found by the r9 sf100 probe): with the rank
+    broadcast disabled, the optimizer pushes the verbatim-collapse
+    semi-join into the dup-corpus UNION's branches and then (Spark 4.1)
+    treats the concatenated union as hash-partitioned — skipping the
+    shingle aggregate's exchange and crashing the sort-merge zip (or,
+    worse, splitting same-key groups). The explicit repartition in
+    dedup_minhash_groups must keep the result identical under BOTH join
+    strategies."""
+    from olap_db_spark.operators.fuzzy_dedup import dedup_minhash_groups
+
+    sf = "/root/testdata/sf0.001"
+    rows_default = sorted(tuple(r) for r in dedup_minhash_groups(spark, sf).collect())
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rows_smj = sorted(tuple(r) for r in dedup_minhash_groups(spark, sf).collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert rows_default == rows_smj
