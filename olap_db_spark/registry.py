@@ -66,89 +66,93 @@ _LOADED = False
 # order); everything else follows in registration order.
 #
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-9 WINDOW (first 50 reach the driver) — stale-row rotation.
-    # Round 8 went 50/50 green (the third consecutive fully-green round),
-    # so this window executes the r8 VERDICT's #1 ask: the 7 rows whose
-    # latest driver green is round 5 (they deferred past slot 50 last
-    # round and are now hard-stale), then 43 of the 50 rows whose latest
-    # green is round 6. Ordered so the most defer-tolerant rows sit last —
-    # they are the ones displaced past slot 50 as new round-9 queries
-    # claim never-checked slots at the top of the tuple.
+    # ROUND-10 WINDOW (first 50 reach the driver) — stale-row rotation.
+    # Round 9 went 50/50 green (the fourth consecutive fully-green round);
+    # this window executes the r9 VERDICT's #1 ask: the 10 rows whose
+    # latest driver green is round 6 (they deferred past slot 50 last
+    # round and the rotation test now demands them), then 40 of the 50
+    # rows whose latest green is round 7. Ordered so the most
+    # defer-tolerant rows sit last — they are the ones displaced past
+    # slot 50 as new round-10 queries claim never-checked slots at the
+    # top of the tuple.
     #
-    # Tier 0 — NEW in round 9, never driver-checked (each displaces one
-    # tier-2 row past slot 50): the sampled-truth-set eval variants.
-    "sim_ivf_eval_sampled",
-    "sim_pq_eval_sampled",
-    "dedup_lsh_eval_sampled",
-    # Tier 1 — the 7 rows whose latest green is round 5 (hard-stale).
-    "ts_user_lifetime",
-    "mm_binary_features",
-    "func_math_family",
-    "meta_select_one",
-    "sample_bernoulli",
-    "sample_stratified",
-    "scale_zorder_layout",
-    # Tier 2 — 43 of the 50 rows whose latest green is round 6.
-    # Integer-SUM / join-heavy shapes first (most exposed to driver-side
-    # arrow/HUGEINT drift); graph/pipeline/sim fixpoints next; map-only
-    # and small-result shapes later. SEVEN r6 rows defer to round 10 by
-    # sitting past slot 50 (least drift-exposed: join_cross and
-    # setop_union_all are tiny-dim/no-shuffle unions, meta_show_databases
-    # and meta_show_create_table return constant metadata, func_array_ops
-    # and func_conditional are pure column expressions pytest-covered,
-    # dedup_distinct is a plain DISTINCT over stable columns).
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q4_priority_exists",
-    "q5_local_supplier_volume",
-    "q11_important_stock",
-    "q12_priority_lateness",
-    "q17_small_qty_revenue",
-    "join_inner_chain",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_nonequi_band",
-    "graph_pagerank_purchases",
-    "agg_collect_set",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_id",
-    "agg_grouping_sets",
-    "agg_hll_intersect",
-    "agg_weighted_avg_pandas",
-    "dedup_keep_first",
-    "dedup_semantic",
-    "dedup_span_exact",
-    "pipeline_corpus_curation",
-    "sim_ivf_kmeans",
-    "text_bigram_lm_nll",
-    "text_bigram_nll_topk",
-    "text_bm25_topk",
-    "text_domain_kl",
-    "text_hybrid_rrf",
-    "text_repetition_stats",
-    "page_filtered_sorted",
-    "page_keyset",
-    "page_limit_offset",
-    "page_sort_limit",
-    "page_topk_per_group",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_distinct",
-    # Deferred-to-round-10 tail (still priority-ordered so they lead the
-    # next rotation).
+    # Tier 0 — NEW in round 10, never driver-checked (each displaces one
+    # tier-2 row past slot 50).
+    # (added as round-10 operators land)
+    # Tier 1 — the 10 rows whose latest green is round 6 (the rotation
+    # test's must-have set).
     "join_cross",
     "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_intersect_all",
     "meta_show_databases",
     "meta_show_create_table",
     "func_array_ops",
     "func_conditional",
     "dedup_distinct",
+    # Tier 2 — 40 of the 50 rows whose latest green is round 7.
+    # Integer-SUM / join-heavy / fixpoint shapes first (most exposed to
+    # driver-side arrow/HUGEINT drift and plan changes); map-only and
+    # small-result shapes later. TEN r7 rows defer to round 11 by sitting
+    # past slot 50 (least drift-exposed: func_date_family,
+    # func_explode_wordcount, func_json_extract, func_regexp_family,
+    # func_split_key_epoch, func_string_family, func_url_normalize are
+    # pure column expressions pytest-covered; window_lag_lead,
+    # window_ranking, window_running_sum are single-pass deterministic
+    # windows with dedicated pytest coverage).
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q19_brand_band_revenue",
+    "agg_approx_count_distinct",
+    "agg_argmax_family",
+    "agg_histogram",
+    "agg_hll_mergeable",
+    "agg_ohlc_hourly",
+    "agg_percentile_approx",
+    "agg_pivot",
+    "agg_quantiles",
+    "agg_rollup",
+    "agg_string_agg",
+    "agg_topk_per_key",
+    "dedup_cluster_best",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_keep_latest",
+    "dedup_lsh_eval",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "fuzzy_levenshtein_match",
+    "mm_decode_resize_stats",
+    "scale_interval_bucket_join",
+    "sim_ann_lsh",
+    "sim_hybrid_rrf_ivf",
+    "sim_ivf_search",
+    "sim_knn_bruteforce",
+    "sim_pq_search",
+    "text_contamination_check",
+    "text_domain_cap",
+    "text_dsir_select",
+    "text_pack_sequences",
+    "text_tfidf_topterms",
+    "ts_asof_prior_click",
+    "ts_cohort_retention",
+    "ts_daily_rollup",
+    "ts_funnel",
+    # Deferred-to-round-11 tail (still priority-ordered so they lead the
+    # next rotation).
+    "func_date_family",
+    "func_explode_wordcount",
+    "func_json_extract",
+    "func_regexp_family",
+    "func_split_key_epoch",
+    "func_string_family",
+    "func_url_normalize",
+    "window_lag_lead",
+    "window_ranking",
+    "window_running_sum",
 )
 
 
