@@ -287,26 +287,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_shingled(_dup_corpus(spark, sf_dir)))
 
 
-def _jaccard_pairs(sh: DataFrame, pair_pred=None) -> DataFrame:
+def _jaccard_pairs(sh: DataFrame, doc_pred=None) -> DataFrame:
     """Exact capped-blocking Jaccard pairs (≥ 0.5) over a shingled frame.
     Shared by ``dedup_ngram_jaccard`` and ``dedup_lsh_eval`` so the eval
     scores against the identical truth pipeline (and the shingle subtree
-    is built once per plan). ``pair_pred(doc_a, doc_b)`` restricts the
-    pair universe BEFORE the counting aggregate (truth-set sampling) —
-    the filter runs on the exploded pair stream, so sampled evals also
-    skip the aggregation work for unsampled pairs."""
+    is built once per plan). ``doc_pred(doc_id)`` restricts the pair
+    universe to pairs with a SAMPLED ENDPOINT (truth-set sampling) —
+    pushed into the in-array pair GENERATION, so unsampled pairs are
+    dropped before they are exploded or aggregated, and the sampling
+    hash is computed once per doc-shingle occurrence, never per pair."""
     # One pass: explode carries each doc's shingle-set size, so pair rows
     # already hold both set sizes — no sizes join, no shingle recompute.
+    coin = doc_pred(F.col("doc_id")) if doc_pred is not None else F.lit(True)
     exploded = sh.select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        coin.alias("coin"),
+        F.explode("shingles").alias("sh"),
     )
     grouped = (
         exploded.groupBy("sh")
-        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ids"))
+        .agg(F.collect_list(F.struct("doc_id", "n_sh", "coin")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= _FREQ_CAP))
     )
     # In-array pair generation (collect_list order is irrelevant: the
-    # a<b filter yields the same pair multiset under any ordering).
+    # a<b filter yields the same pair multiset under any ordering). The
+    # coin filters INSIDE the array — a pair survives iff either endpoint
+    # is sampled — so the exploded pair stream IS the sampled universe.
     pairs_arr = F.filter(
         F.flatten(
             F.transform(
@@ -318,17 +325,14 @@ def _jaccard_pairs(sh: DataFrame, pair_pred=None) -> DataFrame:
                         x["n_sh"].alias("na"),
                         y["doc_id"].alias("doc_b"),
                         y["n_sh"].alias("nb"),
+                        (x["coin"] | y["coin"]).alias("keep"),
                     ),
                 ),
             )
         ),
-        lambda s: s["doc_a"] < s["doc_b"],
+        lambda s: (s["doc_a"] < s["doc_b"]) & s["keep"],
     )
     exploded_pairs = grouped.select(F.explode(pairs_arr).alias("p"))
-    if pair_pred is not None:
-        exploded_pairs = exploded_pairs.filter(
-            pair_pred(F.col("p.doc_a"), F.col("p.doc_b"))
-        )
     pairs = (
         exploded_pairs
         .groupBy(
@@ -424,14 +428,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_candidates(sh: DataFrame) -> DataFrame:
+def _lsh_candidates(sh: DataFrame, doc_pred=None) -> DataFrame:
     """MinHash signature → band keys → distinct candidate (doc_a < doc_b)
     pairs. Shared by ``dedup_minhash_lsh`` and ``dedup_lsh_eval``.
 
     Hash per occurrence + map-side-combined min: ONE shuffle. (A
     hash-distinct-shingles-then-join variant computes 20× fewer md5s but
     costs two extra shuffles — measured a wash locally and strictly
-    worse at scale, where shuffles dominate hash compute.)"""
+    worse at scale, where shuffles dominate hash compute.)
+
+    ``doc_pred(doc_id)`` restricts candidate GENERATION to pairs with a
+    sampled endpoint: the left join side becomes only the sampled docs'
+    band keys, so a band group of size g emits O(sampled·g) join rows
+    instead of O(g²) — the full (clone-quadratic) candidate set is never
+    materialized. Sampled ⋈ all with least/greatest order normalization
+    covers exactly the pairs where either endpoint is sampled (a
+    both-sampled pair arrives twice, once per orientation; the DISTINCT
+    that already dedups multi-band collisions collapses it)."""
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     digests = [
         F.md5(F.concat(F.lit(f"{a}|"), F.col("sh"))) for a in range(_N_MD5)
@@ -466,16 +479,34 @@ def _lsh_candidates(sh: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band_no", "bk.band_key")
-    a = bandkeys.alias("a")
+    if doc_pred is None:
+        a = bandkeys.alias("a")
+        b = bandkeys.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_no") == F.col("b.band_no"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+    a = bandkeys.filter(doc_pred(F.col("doc_id"))).alias("a")
     b = bandkeys.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -568,10 +599,6 @@ def _eval_coin(col):
     return _md5_coin(_EVAL_COIN_PREFIX, col, _EVAL_COIN_MOD) == 0
 
 
-def _eval_pair_pred(a, b):
-    return _eval_coin(a) | _eval_coin(b)
-
-
 def _sql_eval_coin(col: str) -> str:
     return (
         f"CAST('0x' || substr(md5('{_EVAL_COIN_PREFIX}|' || "
@@ -584,7 +611,7 @@ _SQL_EVAL_PAIR_PRED = (
 )
 
 
-def _lsh_eval_df(spark: SparkSession, sf_dir: str, pair_pred=None) -> DataFrame:
+def _lsh_eval_df(spark: SparkSession, sf_dir: str, doc_pred=None) -> DataFrame:
     """Measured LSH quality: score the MinHash(8)×LSH(4×2) route against
     the exact capped-blocking Jaccard pairs on the same corpus — recall /
     candidate precision as NUMBERS, not docstring claims.
@@ -608,15 +635,12 @@ def _lsh_eval_df(spark: SparkSession, sf_dir: str, pair_pred=None) -> DataFrame:
     the parquet scan up, 24 scans in the plan and 2× the runtime)."""
     sh = _shingled(_dup_corpus(spark, sf_dir))
     # UNFILTERED candidate jaccard: the verify threshold becomes a flag,
-    # so n_cand and n_verified come from the same rows.
-    cands = _lsh_candidates(sh)
-    if pair_pred is not None:
-        # sampled eval: restrict BOTH pair universes before the expensive
-        # verify (candidates here, the counting aggregate in
-        # _jaccard_pairs), with the identical predicate
-        cands = cands.filter(pair_pred(F.col("doc_a"), F.col("doc_b")))
+    # so n_cand and n_verified come from the same rows. The sampled
+    # eval's endpoint coin (doc_pred) is pushed into pair GENERATION on
+    # both routes — neither ever materializes the unsampled pair set.
+    cands = _lsh_candidates(sh, doc_pred)
     cv = _candidate_jaccard(cands, sh).withColumn("in_c", F.lit(1))
-    truth = _jaccard_pairs(sh, pair_pred).select(
+    truth = _jaccard_pairs(sh, doc_pred).select(
         "doc_a", "doc_b", F.lit(1).alias("in_t")
     )
     j = cv.join(truth, ["doc_a", "doc_b"], "full_outer")
@@ -673,8 +697,14 @@ def dedup_lsh_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     route and the LSH candidate route, so the truth verify cost scales
     with the sample while recall/precision stay unbiased estimates of the
     full-universe numbers (each pair's inclusion is independent of its
-    truth/candidate status). Fully oracle-checked including the coin."""
-    return _lsh_eval_df(spark, sf_dir, _eval_pair_pred)
+    truth/candidate status). Fully oracle-checked including the coin.
+
+    The coin is pushed into pair GENERATION on both routes (r9 verdict
+    ask #2): the LSH candidate join takes sampled band keys on its left
+    side, and the truth route's in-array pair builder filters on the
+    endpoint coins — the unsampled (clone-quadratic at probe scale)
+    candidate set is never materialized on either route."""
+    return _lsh_eval_df(spark, sf_dir, _eval_coin)
 
 
 # --- SimHash (rows-only: hex→int not expressible in the oracle dialect) --------------

@@ -294,6 +294,16 @@ _FLAGSHIP_CHECKS = {
         ("no window pass", "!Window ["),
         ("no cartesian product", "!CartesianProduct"),
     ],
+    # round-10: the sampled eval's endpoint coin is pushed into pair
+    # GENERATION — the candidate join's left side is the coin-filtered
+    # band keys and pairs are order-normalized with least/greatest (the
+    # r9 post-filter shape materialized the full clone-quadratic
+    # candidate set first: 1907 s → 277 s at the sf100 probe)
+    "dedup_lsh_eval_sampled": [
+        ("coin-pushdown pair generation", "least("),
+        ("order-normalized pairs", "greatest("),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
     "dedup_lsh_eval": [
         # all six confusion counts fold out of ONE full-outer pair join in
         # a single map-side-combinable aggregate — separate scalar-count

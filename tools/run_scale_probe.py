@@ -59,10 +59,11 @@ def _sampled_fn(base: str, mod: int):
             _lsh_eval_df,
         )
 
-        def pred(a, b):
-            return (_md5_coin(_EVAL_COIN_PREFIX, a, mod) == 0) | (
-                _md5_coin(_EVAL_COIN_PREFIX, b, mod) == 0
-            )
+        # DOC-level coin (a pair survives iff either endpoint lands 0):
+        # _lsh_eval_df pushes it into pair GENERATION on both routes, so
+        # the unsampled candidate set is never materialized.
+        def pred(d):
+            return _md5_coin(_EVAL_COIN_PREFIX, d, mod) == 0
 
         return lambda spark, sf: _lsh_eval_df(spark, sf, pred)
     raise SystemExit(f"no probe-scale variant for {base!r}")
@@ -112,6 +113,16 @@ def main() -> None:
     names = args
     if not names:
         raise SystemExit("no query names given")
+    # timings are keyed by BARE name (the README tables join on it) —
+    # two settings of one query in a single run would silently overwrite
+    # each other's row, so reject that up front
+    bare_names = [n.split("@")[0] for n in names]
+    dups = sorted({b for b in bare_names if bare_names.count(b) > 1})
+    if dups:
+        raise SystemExit(
+            f"duplicate bare query names in one probe run: {dups} — "
+            "run each setting as its own probe artifact"
+        )
 
     timings: dict[str, float] = {}
     for name in names:
