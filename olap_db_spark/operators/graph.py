@@ -167,39 +167,35 @@ def _pagerank_df(
         # before the write is what lets the scan also report the
         # per-bucket sort order (multi-file buckets forfeit it). The
         # table lives in its own namespace (catalog hygiene — metadata
-        # probes list scoped namespaces of their own) and each call
-        # overwrites it, so a stale cache can never serve another
-        # sf_dir's graph.
+        # probes list scoped namespaces of their own) under a
+        # CALL-UNIQUE name, and is dropped before this function returns
+        # (the ranks are eagerly materialized below, so nothing lazy
+        # still references it) — a second concurrent or later call can
+        # never overwrite a table another result still resolves.
+        import uuid
+
         n_buckets = max(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
             n_nodes // 125_000,
         )
+        cache_tbl = f"olap_pr_cache.edges_by_src_{uuid.uuid4().hex[:12]}"
         spark.sql("CREATE DATABASE IF NOT EXISTS olap_pr_cache")
-        spark.sql("DROP TABLE IF EXISTS olap_pr_cache.edges_by_src")
-        # An in-memory catalog forgets the table across sessions but its
-        # directory persists — saveAsTable then fails LOCATION_ALREADY_
-        # EXISTS. Pre-clean the managed location (URI paths through the
-        # FS shim; a bare file:/ prefix down to the local OS).
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).rstrip("/")
-        loc = f"{wh}/olap_pr_cache.db/edges_by_src"
-        if loc.startswith("file:"):
-            loc = loc[len("file:"):]
-            while loc.startswith("//"):
-                loc = loc[1:]
-        from olap_db_spark.sources._fs import fs_for
+        from olap_db_spark.sources._fs import delete_managed_location
 
-        fs_for(loc).delete(loc)
+        # pre-clean is a no-op for the fresh unique name unless a crashed
+        # prior process left its directory behind under the same
+        # warehouse (the in-memory catalog forgets tables across
+        # sessions but their directories persist)
+        delete_managed_location(spark, "olap_pr_cache", cache_tbl.split(".")[1])
         (
             joined.repartition(n_buckets, "src")
             .write.mode("overwrite")
             .format("parquet")
             .bucketBy(n_buckets, "src")
             .sortBy("src")
-            .saveAsTable("olap_pr_cache.edges_by_src")
+            .saveAsTable(cache_tbl)
         )
-        edges = spark.table("olap_pr_cache.edges_by_src")
+        edges = spark.table(cache_tbl)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     rank = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     for _ in range(_PR_ITERS):
@@ -221,6 +217,22 @@ def _pagerank_df(
                 ).alias("rank"),
             )
         )
+    if n_nodes > broadcast_max_nodes:
+        # Materialize the O(V) final ranks eagerly (a (long, long) pair
+        # per node — MB-scale even at sf100) so the bucketed edge cache
+        # can be dropped NOW instead of leaking until session end: the
+        # returned DataFrame no longer references spark.table(cache_tbl),
+        # which closes the stale-serve window a fixed-name cache had
+        # (a second _pagerank_df call used to overwrite the table before
+        # the first result was consumed). SERIALIZED + disk-spillable per
+        # the sf100 OOM lesson on deserialized unrolls.
+        from pyspark import StorageLevel
+
+        rank = rank.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {cache_tbl}")
+        delete_managed_location(spark, "olap_pr_cache", cache_tbl.split(".")[1])
     return (
         rank.select(
             "node",

@@ -185,3 +185,32 @@ def fs_for(path: str) -> _LocalFS | _HadoopFS:
     """Pick the filesystem for ``path``: Hadoop API when URI-schemed,
     plain OS otherwise."""
     return _HadoopFS(path) if is_uri(path) else _LocalFS()
+
+
+def managed_table_location(spark, db: str, table: str) -> str:
+    """The warehouse directory a MANAGED table ``db.table`` occupies,
+    normalized for ``fs_for``: a ``file:`` scheme (Spark's default local
+    warehouse URI form) is stripped down to the local OS path; any other
+    scheme (``hdfs://``, ``s3a://``) is kept for the Hadoop FS shim."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").rstrip("/")
+    loc = f"{wh}/{db}.db/{table}"
+    if loc.startswith("file:") and not loc.startswith("file://"):
+        return loc[len("file:"):]
+    if loc.startswith("file://"):
+        # file://<path> or file:///<path>: keep exactly one leading slash
+        loc = loc[len("file://"):]
+        while loc.startswith("//"):
+            loc = loc[1:]
+        return loc
+    return loc
+
+
+def delete_managed_location(spark, db: str, table: str) -> None:
+    """Remove the warehouse directory of managed table ``db.table``.
+
+    An in-memory catalog forgets its tables across sessions but their
+    directories persist — ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS. Callers that (re)create a managed table
+    pre-clean through here instead of hand-stripping URI schemes."""
+    loc = managed_table_location(spark, db, table)
+    fs_for(loc).delete(loc)

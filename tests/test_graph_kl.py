@@ -114,3 +114,64 @@ def test_domain_kl_detects_injected_skew(spark, tmp_path):
     assert 0.0 <= got["uniform"] < 0.5, got
     assert abs(got["uniform"] - 0.333) < 0.02, got
     assert abs(got["skewed"] - 1.037) < 0.02, got
+
+
+def test_pagerank_fallback_cache_is_call_unique_and_dropped(spark):
+    """ADVICE r9 (medium): a FIXED-name edge-cache table let a second
+    _pagerank_df call overwrite the table before the first result was
+    consumed — silently serving the wrong graph's edges. The fix is a
+    call-unique name plus eager rank materialization, after which the
+    cache is dropped. Pin both properties: interleaved calls stay
+    correct, and no cache table survives the call."""
+    from olap_db_spark.operators.graph import _pagerank_df
+
+    a = _pagerank_df(spark, SF, broadcast_max_nodes=0)
+    # second fallback call BEFORE a is consumed (the regression ordering)
+    b = _pagerank_df(spark, "/root/testdata/sf0.001", broadcast_max_nodes=0)
+    expected = _pagerank_df(spark, SF).collect()  # broadcast branch, same sf
+    assert a.collect() == expected
+    assert b.collect() == _pagerank_df(spark, "/root/testdata/sf0.001").collect()
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables("olap_pr_cache")
+        if t.name.startswith("edges_by_src")
+    ]
+    assert leftovers == []
+
+
+def test_delete_managed_location_uri_and_plain(spark, tmp_path):
+    """sources._fs.managed_table_location strips Spark's file: warehouse
+    scheme (single- and double-slash forms) and delete_managed_location
+    removes the directory — the helper graph.py's fallback pre-clean and
+    drop route through (r9 VERDICT item 4)."""
+    from olap_db_spark.sources._fs import (
+        delete_managed_location,
+        managed_table_location,
+    )
+
+    prev = spark.conf.get("spark.sql.warehouse.dir")
+    loc = managed_table_location(spark, "db1", "t1")
+    assert loc.endswith("/db1.db/t1") and not loc.startswith("file:")
+
+    class _FakeConf:
+        def __init__(self, wh):
+            self._wh = wh
+
+        def get(self, key, default=None):
+            return self._wh if key == "spark.sql.warehouse.dir" else default
+
+    class _FakeSpark:
+        def __init__(self, wh):
+            self.conf = _FakeConf(wh)
+
+    for wh in (f"file:{tmp_path}/wh", f"file://{tmp_path}/wh", f"{tmp_path}/wh"):
+        fake = _FakeSpark(wh)
+        loc = managed_table_location(fake, "dbx", "tx")
+        assert loc == f"{tmp_path}/wh/dbx.db/tx", (wh, loc)
+        import os
+
+        os.makedirs(loc, exist_ok=True)
+        (tmp_path / "wh" / "dbx.db" / "tx" / "part-0").write_text("x")
+        delete_managed_location(fake, "dbx", "tx")
+        assert not os.path.exists(loc)
+    assert spark.conf.get("spark.sql.warehouse.dir") == prev
