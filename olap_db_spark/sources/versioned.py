@@ -86,15 +86,21 @@ def _read_chain(path: str) -> list[int]:
       so a crash inside the swap window must present the prior chain —
       never an uninitialized table whose next commit restarts history.
     - A stamped pointer (``format=2 ...``) is the chain verbatim.
-    - An unstamped single integer is the LEGACY head-only format:
-      reconstruct its implied chain as every version directory up to the
-      head (the legacy code had no rollback/vacuum chain tracking, so
-      directories <= head were exactly its committed history). An
+    - An unstamped SINGLE integer is ambiguous: the legacy head-only
+      format (whose committed history was every directory <= head) and
+      an intermediate-format one-entry chain (e.g. after a vacuum to
+      keep=1) are byte-identical. The chain adopts ONLY the head itself:
+      expanding to every directory <= head would adopt crash orphans and
+      rolled-back directories into committed history — including their
+      batch-id markers, so a streaming replay of such a batch would
+      wrongly no-op (silent data loss). The conservative read costs a
+      true legacy table its pre-head HISTORY listing (rollback targets,
+      old batch markers — none of which the legacy code could use
+      anyway); the directories stay on disk, readable via
+      ``read_version`` for forensics, until vacuum reclaims them. An
       unstamped MULTI-entry pointer is the intermediate chain format and
-      parses verbatim. The one residual ambiguity — an unstamped
-      single-entry chain over a table that also has a pre-first-commit
-      crash orphan — adopts the orphan; any subsequent commit, rollback,
-      or vacuum rewrites the pointer stamped and retires the ambiguity.
+      parses verbatim; any subsequent commit, rollback, or vacuum
+      rewrites the pointer stamped and retires the ambiguity.
     """
     fs = fs_for(path)
     ptr = f"{path.rstrip('/')}/{_HEAD}"
@@ -104,13 +110,21 @@ def _read_chain(path: str) -> list[int]:
         try:
             text = fs.read_text(ptr + ".bak")
         except FileNotFoundError:
-            return []
+            # A URI-path pointer swap parks _HEAD at _HEAD.bak, renames
+            # the fresh pointer in, then deletes the backup — at least
+            # one of the two files exists at every instant. A reader
+            # that missed _HEAD during the park window and then missed
+            # the already-retired backup must re-probe _HEAD once (the
+            # swap has landed by then) instead of reporting an
+            # uninitialized table over a fully committed chain.
+            try:
+                text = fs.read_text(ptr)
+            except FileNotFoundError:
+                return []
     toks = text.split()
     if toks and toks[0] == _FORMAT_TOKEN:
         return [int(t) for t in toks[1:]]
     vals = [int(t) for t in toks]
-    if len(vals) == 1:
-        return [d for d in _list_version_dirs(path) if d <= vals[0]]
     return vals
 
 

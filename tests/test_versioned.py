@@ -491,10 +491,14 @@ def test_uri_pointer_swap_crash_leaves_recoverable_backup(spark, tmp_path):
 
 
 def test_legacy_head_only_pointer_migration(spark, tmp_path):
-    """Pointer-format migration: a legacy head-only pointer (one bare
-    integer) reconstructs its implied chain (all directories <= head); an
-    unstamped multi-entry pointer (the intermediate chain format) parses
-    verbatim; and the first write re-stamps the pointer."""
+    """Pointer-format migration (ADVICE r9): an unstamped SINGLE-entry
+    pointer is ambiguous between the legacy head-only format and an
+    intermediate one-entry chain (e.g. post-vacuum keep=1), so the chain
+    adopts ONLY the head — expanding to every directory <= head adopted
+    crash orphans and rolled-back versions (and their batch markers,
+    no-op'ing a streaming replay: silent data loss). An unstamped
+    multi-entry pointer (the intermediate chain format) parses verbatim;
+    the first write re-stamps the pointer."""
     path = str(tmp_path / "tbl")
     for i, val in enumerate(("a", "b", "c")):
         V.snapshot_write(
@@ -504,13 +508,30 @@ def test_legacy_head_only_pointer_migration(spark, tmp_path):
             batch_id=i,
         )
     head = tmp_path / "tbl" / "_HEAD"
-    # legacy format: the old code wrote only the head number
+    # legacy format: the old code wrote only the head number. The head
+    # itself (data + batch marker) is adopted; pre-head directories stay
+    # on disk (read_version forensics) but out of committed history —
+    # crucially, their batch ids are NOT claimed as committed, so a
+    # replayed batch re-appends instead of silently no-op'ing.
     head.write_text("3")
-    assert V.versions(path) == [1, 2, 3], "legacy chain not reconstructed"
-    assert V.committed_batch_ids(path) == {0, 1, 2}
-    assert V.rollback(path, 2) == 2, "rollback refused a legacy-committed version"
+    assert V.versions(path) == [3], "single-entry pointer must adopt only the head"
+    assert V.committed_batch_ids(path) == {2}
+    assert _rows(V.read_version(spark, path, 1)) == {(1, "a")}, "forensic read lost"
+    # a rolled-back/orphaned directory <= head must NOT resurrect: build
+    # one by writing a 4th version then pointing the single-entry head
+    # past it at a fresh 5th version's number
+    V.snapshot_write(
+        spark, spark.createDataFrame([(1, "d")], "k INT, val STRING"), path, batch_id=9
+    )
+    head.write_text("4")
+    assert V.versions(path) == [4]
+    assert V.committed_batch_ids(path) == {9}
+    # first write re-stamps the pointer with the explicit chain
+    V.snapshot_write(
+        spark, spark.createDataFrame([(1, "e")], "k INT, val STRING"), path, batch_id=10
+    )
     assert head.read_text().startswith("format=2 "), "write did not re-stamp"
-    assert V.versions(path) == [1, 2]
+    assert V.versions(path) == [4, 5]
     # intermediate (unstamped chain) format parses verbatim
     head.write_text("1 3")
     assert V.versions(path) == [1, 3]
