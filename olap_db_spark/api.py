@@ -73,15 +73,84 @@ _RESTORE_RE = re.compile(
 _SHOW_VERSIONS_RE = re.compile(
     r"^\s*SHOW\s+VERSIONS\s+FROM\s+'(?P<path>[^']+)'\s*$", re.IGNORECASE
 )
+# Read-side time travel (Delta's SELECT ... VERSION AS OF analog, spelled
+# as a path-addressed verb like the rest of the maintenance family):
+#   READ '<path>' VERSION AS OF n
+_READ_VERSION_RE = re.compile(
+    r"^\s*READ\s+'(?P<path>[^']+)'"
+    r"\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*$",
+    re.IGNORECASE,
+)
+
+#: statement kinds that mutate data or history at a filesystem path —
+#: the set the HTTP server gates behind its explicit opt-in
+MUTATING_VERBS = ("UPSERT", "DELETE", "OPTIMIZE", "VACUUM", "RESTORE")
+
+
+def classify_statement(query: str) -> str | None:
+    """The engine-routed verb a statement would take (``"UPSERT"``,
+    ``"DELETE"``, ``"OPTIMIZE"``, ``"VACUUM"``, ``"RESTORE"``,
+    ``"SHOW_VERSIONS"``, ``"READ_VERSION"``) or None for plain Spark SQL.
+    Shared with the HTTP server so its mutation gate matches the routing
+    here exactly — a second hand-written matcher would drift."""
+    for verb, rx in (
+        ("UPSERT", _UPSERT_RE),
+        ("DELETE", _DELETE_RE),
+        ("OPTIMIZE", _OPTIMIZE_RE),
+        ("VACUUM", _VACUUM_RE),
+        ("RESTORE", _RESTORE_RE),
+        ("SHOW_VERSIONS", _SHOW_VERSIONS_RE),
+        ("READ_VERSION", _READ_VERSION_RE),
+    ):
+        if rx.match(query):
+            return verb
+    return None
 
 
 class OlapEngine:
     """Session + catalog + the dual SQL/DataFrame query surface."""
 
-    def __init__(self, sf_dir: str, spark: SparkSession | None = None):
+    def __init__(
+        self,
+        sf_dir: str,
+        spark: SparkSession | None = None,
+        table_root: str | None = None,
+    ):
+        """``table_root`` (ADVICE r9): when set, every path-addressed
+        statement (UPSERT/DELETE/OPTIMIZE/VACUUM/RESTORE/SHOW VERSIONS/
+        READ VERSION) must resolve inside that directory — the engine
+        refuses to mutate or read arbitrary filesystem paths handed in
+        through SQL strings. None (the default) keeps the embedded-use
+        behavior where the caller already holds filesystem authority."""
         self.spark = spark or get_spark("olap-db-engine")
         self.sf_dir = sf_dir
+        self.table_root = table_root
         register_views(self.spark, sf_dir)
+
+    def _checked_path(self, path: str) -> str:
+        if self.table_root is None:
+            return path
+        import os.path
+
+        from .sources._fs import is_uri
+
+        if is_uri(self.table_root) or is_uri(path):
+            # URI paths have no OS-level normalization; compare as
+            # slash-delimited prefixes (".." is not meaningful in the
+            # Hadoop Path forms the maintenance surface accepts)
+            root = self.table_root.rstrip("/")
+            ok = path == root or path.startswith(root + "/")
+            ok = ok and "/../" not in path and not path.endswith("/..")
+        else:
+            root = os.path.abspath(self.table_root)
+            resolved = os.path.abspath(path)
+            ok = resolved == root or resolved.startswith(root + os.sep)
+        if not ok:
+            raise PermissionError(
+                f"path {path!r} is outside the configured table_root "
+                f"{self.table_root!r}"
+            )
+        return path
 
     # --- query surface ----------------------------------------------------
     def sql(self, query: str) -> DataFrame:
@@ -120,6 +189,10 @@ class OlapEngine:
         - ``SHOW VERSIONS FROM '<path>'`` →
           :func:`~.sources.versioned.versions` (committed chain +
           head flag).
+        - ``READ '<path>' VERSION AS OF n`` →
+          :func:`~.sources.versioned.read_version` (read-side time
+          travel over the versioned sink — any committed or forensic
+          version's rows, not just HEAD).
         """
         m = _UPSERT_RE.match(query)
         if m:
@@ -128,7 +201,7 @@ class OlapEngine:
             parts = upsert_partition_scoped(
                 self.spark,
                 df,
-                m.group("path"),
+                self._checked_path(m.group("path")),
                 m.group("pcol"),
                 keys,
                 m.group("ocol"),
@@ -140,7 +213,7 @@ class OlapEngine:
         md = _DELETE_RE.match(query)
         if md:
             parts = delete_where(
-                self.spark, md.group("path"), md.group("pcol"), md.group("pred")
+                self.spark, self._checked_path(md.group("path")), md.group("pcol"), md.group("pred")
             )
             return self.spark.createDataFrame(
                 [(str(p),) for p in sorted(parts, key=str)],
@@ -156,7 +229,7 @@ class OlapEngine:
                 else {}
             )
             parts = compact_partitions(
-                self.spark, mo.group("path"), mo.group("pcol"), **kw
+                self.spark, self._checked_path(mo.group("path")), mo.group("pcol"), **kw
             )
             return self.spark.createDataFrame(
                 [(str(p),) for p in sorted(parts, key=str)],
@@ -171,7 +244,7 @@ class OlapEngine:
                 kw["keep"] = int(mv.group("keep"))
             if mv.group("grace") is not None:
                 kw["grace_seconds"] = float(mv.group("grace"))
-            deleted = versioned.vacuum(mv.group("path"), **kw)
+            deleted = versioned.vacuum(self._checked_path(mv.group("path")), **kw)
             return self.spark.createDataFrame(
                 [(int(v),) for v in deleted], "deleted_version long"
             )
@@ -179,7 +252,9 @@ class OlapEngine:
         if mr:
             from .sources import versioned
 
-            v = versioned.rollback(mr.group("path"), int(mr.group("version")))
+            v = versioned.rollback(
+                self._checked_path(mr.group("path")), int(mr.group("version"))
+            )
             return self.spark.createDataFrame(
                 [(int(v),)], "restored_version long"
             )
@@ -187,11 +262,18 @@ class OlapEngine:
         if ms:
             from .sources import versioned
 
-            chain = versioned.versions(ms.group("path"))
+            chain = versioned.versions(self._checked_path(ms.group("path")))
             head = chain[-1] if chain else None
             return self.spark.createDataFrame(
                 [(int(v), v == head) for v in chain],
                 "version long, is_head boolean",
+            )
+        mt = _READ_VERSION_RE.match(query)
+        if mt:
+            from .sources import versioned
+
+            return versioned.read_version(
+                self.spark, self._checked_path(mt.group("path")), int(mt.group("version"))
             )
         if _INSERT_OVERWRITE_RE.match(query):
             conf_key = "spark.sql.sources.partitionOverwriteMode"

@@ -80,7 +80,18 @@ class HttpSqlServer:
         port: int = 0,
         max_rows: int = DEFAULT_MAX_ROWS,
         allow_external: bool = False,
+        allow_mutations: bool = False,
     ):
+        """``allow_mutations`` (ADVICE r9): the engine-routed statements
+        that rewrite data or truncate history at an arbitrary quoted path
+        (UPSERT / DELETE / OPTIMIZE / VACUUM / RESTORE) answer 403 over
+        the wire unless explicitly opted in — same pattern as the
+        non-loopback ``allow_external`` gate. Read-only verbs
+        (SHOW VERSIONS, READ ... VERSION AS OF) always pass. This gates
+        the engine's own destructive verbs only; plain Spark SQL is
+        already arbitrary (the endpoint is unauthenticated by design,
+        loopback-bound by default) — pair the opt-in with an engine
+        ``table_root`` to confine where those verbs may point."""
         if host not in _LOOPBACK_HOSTS and not allow_external:
             raise ValueError(
                 f"refusing to bind unauthenticated SQL endpoint to {host!r}; "
@@ -88,6 +99,7 @@ class HttpSqlServer:
             )
         self.engine = engine
         self.max_rows = max_rows
+        self.allow_mutations = allow_mutations
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -108,6 +120,17 @@ class HttpSqlServer:
                     self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
 
             def _run(self, query: str, fmt: str, max_rows: int):
+                from .api import MUTATING_VERBS, classify_statement
+
+                verb = classify_statement(query)
+                if verb in MUTATING_VERBS and not outer.allow_mutations:
+                    self._reply(
+                        403,
+                        f"{verb} is disabled on this endpoint; start the "
+                        "server with allow_mutations=True to enable the "
+                        "maintenance/mutation statements\n".encode(),
+                    )
+                    return
                 spark = outer.engine.spark
                 group = f"http-sql-{uuid.uuid4().hex[:12]}"
                 done = object()
