@@ -660,6 +660,209 @@ def sim_ivf_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_eval_df(spark, sf_dir, query_k=_EVAL_SAMPLE_K)
 
 
+# --- incremental IVF index refresh -------------------------------------------------
+
+# Content-addressed corpus split for the refresh scenario: vectors whose
+# md5 coin lands 0 are the APPENDED batch, the rest are the indexed base
+# (same portable-coin construction as the eval sampling; a pure function
+# of vec_id, so the whole maintenance decision hash-checks).
+_REFRESH_COIN_PREFIX = "ivfnew"
+_REFRESH_COIN_MOD = 4
+# re-center a cell iff appended ≥ 20% of its indexed members
+_REFRESH_NUM, _REFRESH_DEN = 1, 5
+
+_SQL_REFRESH_COIN = (
+    f"CAST('0x' || substr(md5('{_REFRESH_COIN_PREFIX}|' || "
+    f"CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % {_REFRESH_COIN_MOD} = 0"
+)
+
+_IVF_REFRESH_ORACLE = f"""
+WITH basev AS (
+  SELECT vec_id, {sql_quantize('embedding')} AS qv
+  FROM embeddings WHERE NOT ({_SQL_REFRESH_COIN})
+),
+{sql_kmeans_assign(vecs_sql="SELECT vec_id, qv FROM basev")},
+bpos AS (SELECT cluster, unnest(qv) AS v, unnest(range(0, {_DIM})) AS d
+         FROM assign{_KM_ITERS}),
+cent AS (
+  SELECT cluster, list(sv ORDER BY d) AS cv,
+         {sql_dot('list(sv ORDER BY d)', 'list(sv ORDER BY d)')} AS cn2
+  FROM (SELECT cluster, d, CAST(SUM(v) AS BIGINT) // COUNT(*) AS sv
+        FROM bpos GROUP BY cluster, d) t
+  GROUP BY cluster
+),
+counts AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_base
+           FROM assign{_KM_ITERS} GROUP BY cluster),
+newv AS (
+  SELECT vec_id, {sql_quantize('embedding')} AS qv
+  FROM embeddings WHERE ({_SQL_REFRESH_COIN})
+),
+nassign AS (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT v.vec_id, v.qv, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY c.cn2 - 2 * {sql_dot('v.qv', 'c.cv')}, c.cluster) AS rn
+    FROM newv v CROSS JOIN cent c) WHERE rn = 1
+),
+ncounts AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_new
+            FROM nassign GROUP BY cluster),
+decide AS (
+  SELECT c.cluster, c.n_base, COALESCE(n.n_new, 0) AS n_new,
+         CASE WHEN {_REFRESH_DEN} * COALESCE(n.n_new, 0)
+                   >= {_REFRESH_NUM} * c.n_base
+              THEN 1 ELSE 0 END AS refreshed
+  FROM counts c LEFT JOIN ncounts n USING (cluster)
+),
+rmembers AS (
+  SELECT a.cluster, a.qv FROM assign{_KM_ITERS} a
+  JOIN decide d ON d.cluster = a.cluster AND d.refreshed = 1
+  UNION ALL
+  SELECT n.cluster, n.qv FROM nassign n
+  JOIN decide d ON d.cluster = n.cluster AND d.refreshed = 1
+),
+remean AS (
+  SELECT cluster, d, CAST(SUM(v) AS BIGINT) // COUNT(*) AS sv
+  FROM (SELECT cluster, unnest(qv) AS v, unnest(range(0, {_DIM})) AS d
+        FROM rmembers) p
+  GROUP BY cluster, d
+),
+re2 AS (
+  SELECT cluster,
+         MAX(CASE WHEN d = 0 THEN sv END) AS r0,
+         MAX(CASE WHEN d = 1 THEN sv END) AS r1
+  FROM remean GROUP BY cluster
+)
+SELECT d.cluster, d.n_base, d.n_new, CAST(d.refreshed AS BIGINT) AS refreshed,
+       CAST(CASE WHEN d.refreshed = 1 THEN re2.r0 ELSE cent.cv[1] END
+            AS BIGINT) AS centroid_d0,
+       CAST(CASE WHEN d.refreshed = 1 THEN re2.r1 ELSE cent.cv[2] END
+            AS BIGINT) AS centroid_d1
+FROM decide d
+JOIN cent ON cent.cluster = d.cluster
+LEFT JOIN re2 ON re2.cluster = d.cluster
+ORDER BY d.cluster
+"""
+
+
+@register(
+    "sim_ivf_refresh",
+    oracle=_IVF_REFRESH_ORACLE,
+    tags=("similarity", "maintenance"),
+)
+def sim_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index refresh (r9 verdict stretch item a) — the
+    "index refreshed on a slower cadence than the append" that
+    ``streaming/retrieval.py``'s docstring promises, made real: given an
+    indexed BASE corpus and an APPENDED batch (content-addressed md5
+    split of the embeddings table), route each appended vector to its
+    nearest EXISTING centroid (the cheap map-side step — broadcast
+    k·dim ints, no Lloyd iterations), then re-center ONLY the cells
+    whose appended count crossed the threshold (appended ≥ 20% of the
+    cell's indexed members). One row per cell: base/new member counts,
+    the refresh decision, and the first two post-maintenance centroid
+    components (exact integer means — truncating DIV, identical in both
+    engines), so the whole maintenance pass hash-checks.
+
+    Scale shape: the appended batch never triggers a k-means fit — its
+    assignment is one broadcast-centroid argmin over O(new rows); the
+    re-center aggregate runs over REFRESHED cells only (a broadcast
+    semi-join on the O(k) decision frame gates the posexplode), so a
+    quiet index costs O(new rows) per maintenance pass, not O(corpus).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    from .data_selection import _md5_coin
+
+    is_new = _md5_coin(_REFRESH_COIN_PREFIX, F.col("vec_id"), _REFRESH_COIN_MOD) == 0
+    allq = e.select("vec_id", quantize(F.col("embedding")).alias("qv"), is_new.alias("is_new"))
+    base = allq.filter(~F.col("is_new")).select("vec_id", "qv")
+    newv = allq.filter(F.col("is_new")).select("vec_id", "qv")
+    assigned = kmeans_fit_assign(spark, sf_dir, vecs=base).join(base, "vec_id")
+    # exact integer-MEAN centroid per cell (truncating DIV — the _ivf_topk
+    # convention, mirrored by the oracle's // division)
+    bpos = assigned.select("cluster", F.posexplode("qv").alias("d", "v"))
+    cent = (
+        bpos.groupBy("cluster", "d")
+        .agg(F.expr("sum(v) DIV count(1)").alias("sv"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "sv"))).alias("ds"))
+        .select("cluster", F.transform("ds", lambda s: s["sv"]).alias("cv"))
+        .withColumn("cn2", norm2_q(F.col("cv")))
+    )
+    counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_base"))
+    # appended vectors: nearest-existing-centroid argmin (same exact
+    # integer metric as the Lloyd assignment: |c|^2 - 2 v.c, ties to the
+    # lowest cluster id), broadcast k rows against O(new) rows
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        (F.col("cn2") - 2 * dot_q(F.col("qv"), F.col("cv"))).asc(), F.col("cluster")
+    )
+    nassign = (
+        newv.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "cluster")
+    )
+    ncounts = nassign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_new"))
+    decide = (
+        counts.join(ncounts, "cluster", "left")
+        .select(
+            "cluster",
+            F.col("n_base").cast("long").alias("n_base"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        )
+        .withColumn(
+            "refreshed",
+            F.when(
+                F.lit(_REFRESH_DEN) * F.col("n_new")
+                >= F.lit(_REFRESH_NUM) * F.col("n_base"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    hot = F.broadcast(decide.filter(F.col("refreshed") == 1).select("cluster"))
+    rmembers = (
+        assigned.select("cluster", "qv")
+        .join(hot, "cluster", "left_semi")
+        .unionByName(nassign.select("cluster", "qv").join(hot, "cluster", "left_semi"))
+    )
+    # only the reported components aggregate here (the full re-centered
+    # vector would be the same per-dim mean over all 64 dims)
+    re2 = (
+        rmembers.select(
+            "cluster", F.col("qv")[0].alias("v0"), F.col("qv")[1].alias("v1")
+        )
+        .groupBy("cluster")
+        .agg(
+            F.expr("sum(v0) DIV count(1)").alias("r0"),
+            F.expr("sum(v1) DIV count(1)").alias("r1"),
+        )
+    )
+    old2 = cent.select(
+        "cluster", F.col("cv")[0].alias("o0"), F.col("cv")[1].alias("o1")
+    )
+    return (
+        decide.join(old2, "cluster")
+        .join(re2, "cluster", "left")
+        .select(
+            "cluster",
+            "n_base",
+            "n_new",
+            "refreshed",
+            F.when(F.col("refreshed") == 1, F.col("r0"))
+            .otherwise(F.col("o0"))
+            .cast("long")
+            .alias("centroid_d0"),
+            F.when(F.col("refreshed") == 1, F.col("r1"))
+            .otherwise(F.col("o1"))
+            .cast("long")
+            .alias("centroid_d1"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # --- product quantization (PQ) ANN -----------------------------------------------
 
 _PQ_M = 8  # subspaces

@@ -27,7 +27,11 @@ Scale: the per-trigger retrieval cost is the batch pipeline's (index
 rebuild included — at production scale the k-means index would be
 refreshed on a slower cadence than the append, which this composition
 expresses by swapping the handler's retrieval step; the commit machinery
-is unchanged). The append cost is O(new rows) — never the corpus.
+is unchanged). The append cost is O(new rows) — never the corpus. The
+slower-cadence index maintenance itself is a real, oracle-checked
+operator: ``operators.similarity.sim_ivf_refresh`` routes appended
+vectors to existing centroids map-side and re-centers only the cells
+whose appended count crossed a threshold.
 """
 
 from __future__ import annotations
