@@ -267,7 +267,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-6 lesson: the r5 ``oracle=None`` registration came back
     ``err: no_oracle`` — the driver does not accept oracle-less entries,
     so the float evaluation is quantized into hash-portability instead."""
-    post = _bm25_postings(spark, sf_dir)
+    return _bm25_score_topk(_bm25_postings(spark, sf_dir), 10)
+
+
+def _bm25_score_topk(post: DataFrame, k: int) -> DataFrame:
+    """Milli-floor BM25 scoring + top-k over a postings frame carrying
+    (doc_id, tf, df, dl, n_docs, dl_sum, dl_n) — shared by the
+    from-scratch ``text_bm25_topk`` and the persisted-index path
+    (``text_index.bm25_topk_from_index``), so the two can never drift."""
     avgdl_inv = (F.col("dl") * F.col("dl_n")) / F.col("dl_sum")
     contrib = (
         F.log(
@@ -284,7 +291,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("contrib_milli").alias("score_milli"))
         .orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
-        .limit(10)
+        .limit(k)
     )
 
 

@@ -49,3 +49,72 @@ def test_refresh_builds_then_noops_then_backfills(spark, tmp_path):
     # values still equal the batch rollup
     got = {r["day"]: r["n_events"] for r in spark.read.parquet(sink).collect()}
     assert got == {d: r["n_events"] for d, r in batch.items()}
+
+
+def test_text_index_refresh_and_bm25_equivalence(spark, tmp_path):
+    """r9 verdict stretch (b): the persisted text index serves BM25 top-k
+    WITHOUT touching the documents table, bit-equal to the from-scratch
+    query; refresh is freshness-gated (no-op when the corpus count is
+    unchanged) and the postings scan pushes the term predicate down."""
+    from olap_db_spark.operators.relevance import (
+        _QUERY_TERMS,
+        _bm25_score_topk,
+        text_bm25_topk,
+    )
+    from olap_db_spark.operators.text_index import (
+        bm25_topk_from_index,
+        refresh_text_index,
+    )
+
+    idx = str(tmp_path / "text_index")
+    assert refresh_text_index(spark, SF, idx) is True
+
+    # from-index == from-scratch for the canonical query
+    got = bm25_topk_from_index(spark, idx, _QUERY_TERMS, k=10).collect()
+    want = text_bm25_topk(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # another term set: from-index == a direct computation over the same
+    # postings shape (validates df-from-slice + persisted dl/corpus stats)
+    terms = ("the", "query", "table")
+    from olap_db_spark.operators.relevance import _tokens
+    from olap_db_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, SF, "documents")
+    tokens = _tokens(docs)
+    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").cast("long").alias("dl_sum"), F.count(F.lit(1)).alias("dl_n")
+    )
+    qtf = (
+        tokens.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qdf = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scratch = (
+        qtf.join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", "term", "tf", "df", "dl", "n_docs", "dl_sum", "dl_n")
+    )
+    got2 = bm25_topk_from_index(spark, idx, terms, k=10).collect()
+    want2 = _bm25_score_topk(scratch, 10).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want2]
+    assert got2, "term set unexpectedly matched no documents"
+
+    # freshness gate: same corpus → no rebuild; force → rebuild
+    before = _state(os.path.join(idx, "postings"))
+    assert refresh_text_index(spark, SF, idx) is False
+    assert _state(os.path.join(idx, "postings")) == before
+    assert refresh_text_index(spark, SF, idx, force=True) is True
+
+    # the postings scan prunes: term predicate reaches the parquet reader
+    post = spark.read.parquet(os.path.join(idx, "postings")).filter(
+        F.col("term").isin(*terms)
+    )
+    plan = post._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "term" in plan
