@@ -121,7 +121,15 @@ def test_bench_artifacts_are_ghost_free():
     addition would force bench runs on a contended host, which the bench
     discipline forbids.)"""
     names = set(registry.all_queries())
-    for art, sf in (("BENCH_FULL.json", 0.1), ("BENCH_sf1.json", 1.0)):
+    for art, sf in (
+        ("BENCH_FULL.json", 0.1),
+        ("BENCH_sf1.json", 1.0),
+        # headline probe artifacts feed the README sf10/sf100 tables via
+        # tools/update_inventory.py — a renamed query whose probe row
+        # lingered would keep a ghost line in the generated tables
+        ("BENCH_sf10_headline.json", 10.0),
+        ("BENCH_sf100_headline.json", 100.0),
+    ):
         data = json.loads(pathlib.Path(art).read_text())
         ghosts = set(data["queries"]) - names
         assert not ghosts, f"{art} times unregistered queries: {sorted(ghosts)}"
