@@ -445,40 +445,7 @@ def _lsh_candidates(sh: DataFrame, doc_pred=None) -> DataFrame:
     covers exactly the pairs where either endpoint is sampled (a
     both-sampled pair arrives twice, once per orientation; the DISTINCT
     that already dedups multi-band collisions collapses it)."""
-    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    digests = [
-        F.md5(F.concat(F.lit(f"{a}|"), F.col("sh"))) for a in range(_N_MD5)
-    ]
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(digests[j // 4], 1 + 8 * (j % 4), 8)
-            ).alias(f"sig{j}")
-            for j in range(_N_HASHES)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.col(f"sig{2*b}"), F.col(f"sig{2*b+1}"))).alias(
-                f"band{b}"
-            )
-            for b in range(_BANDS)
-        ],
-    )
-    bandkeys = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band_key")
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band_no", "bk.band_key")
+    bandkeys = _band_keys(sh)
     if doc_pred is None:
         a = bandkeys.alias("a")
         b = bandkeys.alias("b")
@@ -509,6 +476,49 @@ def _lsh_candidates(sh: DataFrame, doc_pred=None) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _band_keys(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_no, band_key) — the LSH index rows over a shingled
+    frame: per-occurrence md5 hashing with map-side-combined MIN
+    signature aggregate (ONE shuffle), then band-key hashing and the
+    band explode. Shared by the pair generators (``_lsh_candidates``)
+    and the incremental batch-vs-corpus assignment
+    (``dedup_lsh_incremental``)."""
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    digests = [
+        F.md5(F.concat(F.lit(f"{a}|"), F.col("sh"))) for a in range(_N_MD5)
+    ]
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(digests[j // 4], 1 + 8 * (j % 4), 8)
+            ).alias(f"sig{j}")
+            for j in range(_N_HASHES)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"sig{2*b}"), F.col(f"sig{2*b+1}"))).alias(
+                f"band{b}"
+            )
+            for b in range(_BANDS)
+        ],
+    )
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band_key")
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_no", "bk.band_key")
 
 
 def _candidate_jaccard(candidates: DataFrame, sh: DataFrame) -> DataFrame:
@@ -705,6 +715,135 @@ def dedup_lsh_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoint coins — the unsampled (clone-quadratic at probe scale)
     candidate set is never materialized on either route."""
     return _lsh_eval_df(spark, sf_dir, _eval_coin)
+
+
+# --- incremental fuzzy dedup (batch vs indexed corpus) -------------------------------
+
+# Content-addressed batch split: docs whose md5 coin lands 0 are the NEW
+# batch, the rest are the already-indexed base corpus — the same portable
+# construction as the eval sampling, so the whole assignment hash-checks.
+_INC_COIN_PREFIX = "lshnew"
+_INC_COIN_MOD = 4
+
+
+def _inc_coin(col):
+    from .data_selection import _md5_coin
+
+    return _md5_coin(_INC_COIN_PREFIX, col, _INC_COIN_MOD) == 0
+
+
+def _sql_inc_coin(col: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{_INC_COIN_PREFIX}|' || "
+        f"CAST({col} AS VARCHAR)), 1, 8) AS BIGINT) % {_INC_COIN_MOD} = 0"
+    )
+
+
+_LSH_INCREMENTAL_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+shingled AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id, {_SIGS_SQL}
+  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled) t
+  GROUP BY doc_id
+),
+banded AS (SELECT doc_id, {_BANDS_SQL} FROM sigs),
+bandkeys AS ({_BAND_UNION_SQL}),
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_doc, b.doc_id AS base_doc
+  FROM bandkeys n JOIN bandkeys b
+    ON n.band_no = b.band_no AND n.band_key = b.band_key
+  WHERE ({_sql_inc_coin('n.doc_id')}) AND NOT ({_sql_inc_coin('b.doc_id')})
+),
+verified AS (
+  SELECT c.new_doc, c.base_doc
+  FROM cands c
+  JOIN shingled sa ON sa.doc_id = c.new_doc
+  JOIN shingled sb ON sb.doc_id = c.base_doc
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+),
+newdocs AS (SELECT doc_id AS new_doc FROM shingled WHERE ({_sql_inc_coin('doc_id')}))
+SELECT nd.new_doc,
+       COALESCE(MIN(v.base_doc), nd.new_doc) AS assigned_group,
+       CAST(COUNT(v.base_doc) AS BIGINT) AS n_matches
+FROM newdocs nd LEFT JOIN verified v ON v.new_doc = nd.new_doc
+GROUP BY nd.new_doc
+"""
+
+
+@register(
+    "dedup_lsh_incremental",
+    oracle=_LSH_INCREMENTAL_ORACLE,
+    tags=("dedup", "incremental"),
+)
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY dedup: assign a NEW batch of documents to the
+    near-dup groups of an already-indexed base corpus — the production
+    shape of continuous-ingest dedup (the exact-match version is
+    ``dedup_incremental``; this is its MinHash/LSH analog, completing
+    the round-10 index-maintenance family with ``sim_ivf_refresh`` and
+    the persisted text index).
+
+    The corpus splits by a content-addressed md5 coin into base (the
+    standing index) and new (the arriving batch). Candidates come ONLY
+    from new-batch band keys equi-joined against base band keys — never
+    new×new or base×base, so a batch of b docs against a corpus of N
+    costs O(b·collisions), not O((N+b)²) — then exact-Jaccard verify.
+    One row per new doc: ``assigned_group`` = the lowest verified base
+    doc_id (the group representative) or the doc's own id when nothing
+    matches (it founds a new group), plus the verified match count.
+
+    At 100 TB the base band keys are a persisted table (exactly
+    ``_band_keys``'s output — 4 rows of 16 bytes per doc, bucketable by
+    band_key) and the batch side is tiny: the join broadcasts the batch,
+    the corpus is never rescanned per batch, and signature hashing is
+    paid only for new docs. Here both sides derive from one corpus so
+    the whole assignment — split, banding, candidates, verify, grouping
+    — hash-checks against the DuckDB oracle."""
+    sh = _shingled(_dup_corpus(spark, sf_dir))
+    bk = _band_keys(sh)
+    newk = bk.filter(_inc_coin(F.col("doc_id")))
+    basek = bk.filter(~_inc_coin(F.col("doc_id")))
+    cands = (
+        newk.alias("n")
+        .join(
+            basek.alias("b"),
+            (F.col("n.band_no") == F.col("b.band_no"))
+            & (F.col("n.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"), F.col("b.doc_id").alias("base_doc")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("base_doc"), F.col("shingles").alias("sh_b"))
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = common.cast("double") / (F.size("sh_a") + F.size("sh_b") - common)
+    verified = (
+        cands.join(sa, "new_doc")
+        .join(sb, "base_doc")
+        .filter(jac >= 0.5)
+        .select("new_doc", "base_doc")
+    )
+    newdocs = sh.filter(_inc_coin(F.col("doc_id"))).select(
+        F.col("doc_id").alias("new_doc")
+    )
+    return (
+        newdocs.join(verified, "new_doc", "left")
+        .groupBy("new_doc")
+        .agg(
+            F.min("base_doc").alias("m"),
+            F.count("base_doc").alias("n_matches"),
+        )
+        .select(
+            "new_doc",
+            F.coalesce(F.col("m"), F.col("new_doc")).alias("assigned_group"),
+            "n_matches",
+        )
+    )
 
 
 # --- SimHash (rows-only: hex→int not expressible in the oracle dialect) --------------

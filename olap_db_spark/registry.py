@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     # Tier 0 — NEW in round 10, never driver-checked (each displaces one
     # tier-2 row past slot 50).
     "sim_ivf_refresh",
+    "dedup_lsh_incremental",
     # Tier 1 — the 10 rows whose latest green is round 6 (the rotation
     # test's must-have set).
     "join_cross",
