@@ -803,45 +803,106 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole assignment — split, banding, candidates, verify, grouping
     — hash-checks against the DuckDB oracle."""
     sh = _shingled(_dup_corpus(spark, sf_dir))
-    bk = _band_keys(sh)
-    newk = bk.filter(_inc_coin(F.col("doc_id")))
-    basek = bk.filter(~_inc_coin(F.col("doc_id")))
+    return lsh_assign(
+        new_sh=sh.filter(_inc_coin(F.col("doc_id"))),
+        base_index=lsh_base_index(sh.filter(~_inc_coin(F.col("doc_id")))),
+    )
+
+
+def _shingle_set_key(shingles) -> F.Column:
+    """Canonical md5 of a shingle SET — the verbatim-collapse class key
+    for the LSH family: banding and Jaccard depend ONLY on the shingle
+    set, so docs sharing this key have identical band keys and identical
+    jaccard to every other document. Length-prefixed concatenation of
+    the sorted array is injective (no separator-ambiguity for shingles
+    that could contain any separator byte)."""
+    enc = F.transform(
+        F.array_sort(shingles),
+        lambda x: F.concat(F.length(x).cast("string"), F.lit(":"), x),
+    )
+    return F.md5(F.concat_ws("", enc))
+
+
+def lsh_base_index(base_sh: DataFrame) -> DataFrame:
+    """The persistable incremental-dedup index over a shingled base
+    corpus: one row per DISTINCT shingle set — (brep = min member
+    doc_id, bcnt = member count, shingles). This is what a deployment
+    maintains as a table (and what the streaming twin pins once): an
+    arriving batch is assigned against O(distinct texts) rows, so clone
+    mass in the corpus never multiplies per-batch work."""
+    keyed = base_sh.select(
+        "doc_id", "shingles", _shingle_set_key(F.col("shingles")).alias("skey")
+    )
+    return keyed.groupBy("skey").agg(
+        F.min("doc_id").alias("brep"),
+        F.count(F.lit(1)).alias("bcnt"),
+        # any member's array serves: identical skey ⟺ identical set, and
+        # every consumer (banding, array_intersect) is order-invariant
+        F.first("shingles").alias("shingles"),
+    )
+
+
+def lsh_assign(new_sh: DataFrame, base_index: DataFrame) -> DataFrame:
+    """Assign NEW shingled docs to the near-dup groups of an indexed BASE
+    corpus: one row per new doc (new_doc, assigned_group, n_matches).
+    Shared by the registered ``dedup_lsh_incremental`` and the streaming
+    twin (``streaming/fuzzy.py``).
+
+    VERBATIM-COLLAPSE ON BOTH SIDES (the ``dedup_minhash_groups``
+    argument, exact here because the banded candidate join has no
+    doc-frequency cap): docs with identical shingle sets have identical
+    MinHash signatures, band keys, and jaccard to everything, so
+    (a, b) is a verified match iff (rep(a), rep(b)) is. The band join,
+    the verify, and the per-class match stats therefore run over
+    DISTINCT shingle sets only — O(new classes × base-class collisions),
+    never multiplied by clone counts on either side (the pre-collapse
+    shape ran 148 s at the sf10 probe purely on clone-collision mass) —
+    and the result expands back exactly: assigned_group = the lowest
+    verified base doc_id = min over matched base classes of their min
+    member (class minima ARE the index's brep ids); n_matches = Σ bcnt
+    over matched classes (a matched class matches in full)."""
+    nkeyed = new_sh.select(
+        "doc_id", "shingles", _shingle_set_key(F.col("shingles")).alias("skey")
+    )
+    nclasses = nkeyed.groupBy("skey").agg(
+        F.min("doc_id").alias("nrep"), F.first("shingles").alias("shingles")
+    )
+    nrep_sh = nclasses.select(F.col("nrep").alias("doc_id"), "shingles")
+    brep_sh = base_index.select(F.col("brep").alias("doc_id"), "shingles")
     cands = (
-        newk.alias("n")
+        _band_keys(nrep_sh)
+        .alias("n")
         .join(
-            basek.alias("b"),
+            _band_keys(brep_sh).alias("b"),
             (F.col("n.band_no") == F.col("b.band_no"))
             & (F.col("n.band_key") == F.col("b.band_key")),
         )
-        .select(
-            F.col("n.doc_id").alias("new_doc"), F.col("b.doc_id").alias("base_doc")
-        )
+        .select(F.col("n.doc_id").alias("nrep"), F.col("b.doc_id").alias("brep"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("base_doc"), F.col("shingles").alias("sh_b"))
+    sa = nrep_sh.select(F.col("doc_id").alias("nrep"), F.col("shingles").alias("sh_a"))
+    sb = brep_sh.select(F.col("doc_id").alias("brep"), F.col("shingles").alias("sh_b"))
     common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = common.cast("double") / (F.size("sh_a") + F.size("sh_b") - common)
     verified = (
-        cands.join(sa, "new_doc")
-        .join(sb, "base_doc")
+        cands.join(sa, "nrep")
+        .join(sb, "brep")
         .filter(jac >= 0.5)
-        .select("new_doc", "base_doc")
+        .select("nrep", "brep")
     )
-    newdocs = sh.filter(_inc_coin(F.col("doc_id"))).select(
-        F.col("doc_id").alias("new_doc")
+    stats = (
+        verified.join(base_index.select("brep", "bcnt"), "brep")
+        .groupBy("nrep")
+        .agg(F.min("brep").alias("m"), F.sum("bcnt").alias("nm"))
     )
     return (
-        newdocs.join(verified, "new_doc", "left")
-        .groupBy("new_doc")
-        .agg(
-            F.min("base_doc").alias("m"),
-            F.count("base_doc").alias("n_matches"),
-        )
+        nkeyed.select("doc_id", "skey")
+        .join(nclasses.select("skey", "nrep"), "skey")
+        .join(stats, "nrep", "left")
         .select(
-            "new_doc",
-            F.coalesce(F.col("m"), F.col("new_doc")).alias("assigned_group"),
-            "n_matches",
+            F.col("doc_id").alias("new_doc"),
+            F.coalesce(F.col("m"), F.col("doc_id")).alias("assigned_group"),
+            F.coalesce(F.col("nm"), F.lit(0)).cast("long").alias("n_matches"),
         )
     )
 

@@ -217,3 +217,54 @@ def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
     assert novel_fps, "vacuous: no novel docs in the batch"
     for fp, doc_id in got:
         assert doc_id in arrivals[fp], (fp, doc_id)
+
+
+def test_lsh_incremental_stream_equals_batch(spark, tmp_path):
+    """Streaming twin of FUZZY incremental dedup (r10): arriving docs are
+    assigned to the standing base corpus's near-dup groups per
+    micro-batch via the SAME lsh_assign pipeline the batch operator runs;
+    the union of all exactly-once appended batches equals the batch query
+    on the identical base/new split, and replaying a committed batch id
+    commits nothing."""
+    from olap_db_spark.operators.fuzzy_dedup import (
+        _dup_corpus,
+        _inc_coin,
+        dedup_lsh_incremental,
+    )
+    from olap_db_spark.sources import versioned as V
+    from olap_db_spark.streaming.fuzzy import lsh_incremental_handler
+
+    corpus = _dup_corpus(spark, SF)
+    base = corpus.filter(~_inc_coin(F.col("doc_id")))
+    new = corpus.filter(_inc_coin(F.col("doc_id")))
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    new.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "a.parquet"))
+    new.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    results = str(tmp_path / "assigned")
+    handler = lsh_incremental_handler(base, results)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert len(V.versions(results)) == 2, "one results delta per trigger"
+    got = sorted(tuple(r) for r in V.read_head(spark, results).collect())
+    want = sorted(tuple(r) for r in dedup_lsh_incremental(spark, SF).collect())
+    assert got == want, "stream != batch on the identical base/new split"
+    assert any(r[1] != r[0] for r in got), "no doc matched a base group"
+
+    # replay of a committed trigger: nothing commits
+    handler(new.filter("doc_id % 2 = 1"), 1)
+    assert len(V.versions(results)) == 2
