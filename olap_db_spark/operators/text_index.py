@@ -90,6 +90,57 @@ def refresh_text_index(
     return True
 
 
+def refresh_lsh_index(
+    spark: SparkSession, docs: DataFrame, index_path: str, force: bool = False
+) -> bool:
+    """Persist the incremental-dedup LSH index for ``docs`` (any
+    (doc_id, text) frame) at ``index_path`` — the durable form of the
+    collapsed index ``fuzzy_dedup.lsh_base_index`` builds (one row per
+    DISTINCT shingle set: rep doc_id, member count, shingles), which the
+    streaming twin otherwise pins in memory per query. Same freshness
+    contract as ``refresh_text_index``: skip when the recorded corpus
+    row count matches. Returns True when a rebuild ran.
+
+    Scale shape: the index is O(distinct texts) rows; a deployment
+    refreshes it on the ingest cadence and every arriving batch assigns
+    against the table via ``assign_from_lsh_index`` without re-shingling
+    or re-collapsing the corpus."""
+    from .fuzzy_dedup import _shingled, lsh_base_index
+
+    n_docs = docs.count()
+    if not force:
+        try:
+            rec = (
+                spark.read.parquet(_p(index_path, "meta"))
+                .select("n_docs")
+                .collect()
+            )
+            if rec and rec[0][0] == n_docs:
+                return False
+        except Exception:  # noqa: BLE001 — first build: no index yet
+            pass
+    lsh_base_index(_shingled(docs)).write.mode("overwrite").parquet(
+        _p(index_path, "classes")
+    )
+    spark.createDataFrame([(n_docs,)], "n_docs long").write.mode(
+        "overwrite"
+    ).parquet(_p(index_path, "meta"))
+    return True
+
+
+def assign_from_lsh_index(
+    spark: SparkSession, index_path: str, new_docs: DataFrame
+) -> DataFrame:
+    """Assign a batch of (doc_id, text) rows to the near-dup groups of
+    the PERSISTED LSH index at ``index_path`` — identical semantics to
+    ``fuzzy_dedup.lsh_assign`` over the in-memory index (same shared
+    pipeline), with the corpus never touched at assignment time."""
+    from .fuzzy_dedup import _shingled, lsh_assign
+
+    base_index = spark.read.parquet(_p(index_path, "classes"))
+    return lsh_assign(_shingled(new_docs), base_index)
+
+
 def bm25_topk_from_index(
     spark: SparkSession, index_path: str, terms: tuple[str, ...], k: int = 10
 ) -> DataFrame:

@@ -118,3 +118,43 @@ def test_text_index_refresh_and_bm25_equivalence(spark, tmp_path):
     )
     plan = post._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "term" in plan
+
+
+def test_lsh_index_persist_and_assign(spark, tmp_path):
+    """The persisted LSH dedup index (r10): refresh materializes the
+    collapsed class table, assignment from the table equals the
+    in-memory lsh_assign on the identical base/new split, and the
+    freshness gate no-ops on an unchanged corpus."""
+    from pyspark.sql import functions as F
+
+    from olap_db_spark.operators.fuzzy_dedup import (
+        _dup_corpus,
+        _inc_coin,
+        _shingled,
+        lsh_assign,
+        lsh_base_index,
+    )
+    from olap_db_spark.operators.text_index import (
+        assign_from_lsh_index,
+        refresh_lsh_index,
+    )
+
+    corpus = _dup_corpus(spark, SF)
+    base = corpus.filter(~_inc_coin(F.col("doc_id")))
+    new = corpus.filter(_inc_coin(F.col("doc_id")))
+
+    idx = str(tmp_path / "lsh_index")
+    assert refresh_lsh_index(spark, base, idx) is True
+    got = sorted(
+        tuple(r) for r in assign_from_lsh_index(spark, idx, new).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in lsh_assign(_shingled(new), lsh_base_index(_shingled(base))).collect()
+    )
+    assert got == want and got, "persisted-index assignment drifted"
+
+    before = _state(os.path.join(idx, "classes"))
+    assert refresh_lsh_index(spark, base, idx) is False
+    assert _state(os.path.join(idx, "classes")) == before
+    assert refresh_lsh_index(spark, base, idx, force=True) is True
