@@ -777,6 +777,19 @@ def sim_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     allq = e.select("vec_id", quantize(F.col("embedding")).alias("qv"), is_new.alias("is_new"))
     base = allq.filter(~F.col("is_new")).select("vec_id", "qv")
     newv = allq.filter(F.col("is_new")).select("vec_id", "qv")
+    assigned, cent, counts = ivf_base_index(spark, sf_dir, base)
+    nassign = ivf_route(newv, cent)
+    return ivf_refresh_report(assigned, cent, counts, nassign)
+
+
+def ivf_base_index(
+    spark: SparkSession, sf_dir: str, base: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The standing IVF index over a ``(vec_id, qv)`` base corpus:
+    (assigned members, centroid table with ``cn2`` norms, per-cell
+    counts). Extracted so the streaming twin
+    (``streaming/ann_maintenance.py``) pins the SAME index the batch
+    operator builds."""
     assigned = kmeans_fit_assign(spark, sf_dir, vecs=base).join(base, "vec_id")
     # exact integer-MEAN centroid per cell (truncating DIV — the _ivf_topk
     # convention, mirrored by the oracle's // division)
@@ -790,18 +803,32 @@ def sim_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cn2", norm2_q(F.col("cv")))
     )
     counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_base"))
-    # appended vectors: nearest-existing-centroid argmin (same exact
-    # integer metric as the Lloyd assignment: |c|^2 - 2 v.c, ties to the
-    # lowest cluster id), broadcast k rows against O(new) rows
+    return assigned, cent, counts
+
+
+def ivf_route(newv: DataFrame, cent: DataFrame) -> DataFrame:
+    """Appended vectors → nearest EXISTING centroid (no Lloyd re-fit):
+    the same exact integer metric as the Lloyd assignment
+    (|c|² − 2·v·c, ties to the lowest cluster id), broadcast k rows
+    against O(new) rows — the cheap map-side step both the batch
+    operator and the streaming twin run per arriving batch."""
     w_assign = Window.partitionBy("vec_id").orderBy(
         (F.col("cn2") - 2 * dot_q(F.col("qv"), F.col("cv"))).asc(), F.col("cluster")
     )
-    nassign = (
+    return (
         newv.crossJoin(F.broadcast(cent))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "qv", "cluster")
     )
+
+
+def ivf_refresh_report(
+    assigned: DataFrame, cent: DataFrame, counts: DataFrame, nassign: DataFrame
+) -> DataFrame:
+    """The maintenance decision + selective re-center over an index and a
+    routed appended set — the slow-cadence pass, shared by the batch
+    operator and the streaming twin's read-side evaluation."""
     ncounts = nassign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_new"))
     decide = (
         counts.join(ncounts, "cluster", "left")
@@ -1189,3 +1216,228 @@ def sim_pq_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(K·N), the measurement semantics and the full oracle check are
     unchanged — the production form of the PQ recall eval."""
     return _pq_eval_df(spark, sf_dir, query_k=_EVAL_SAMPLE_K)
+
+
+# --- incremental PQ index refresh --------------------------------------------------
+
+# Content-addressed corpus split for the PQ maintenance scenario (the
+# sim_ivf_refresh construction with its own prefix, so the two maintenance
+# queries see different appended batches).
+_PQR_COIN_PREFIX = "pqnew"
+_PQR_COIN_MOD = 4
+
+_SQL_PQR_COIN = (
+    f"CAST('0x' || substr(md5('{_PQR_COIN_PREFIX}|' || "
+    f"CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % {_PQR_COIN_MOD} = 0"
+)
+
+_PQ_REFRESH_ORACLE = f"""
+WITH basev AS (
+  SELECT vec_id, {sql_quantize('embedding')} AS qv
+  FROM embeddings WHERE NOT ({_SQL_PQR_COIN})
+),
+newv AS (
+  SELECT vec_id, {sql_quantize('embedding')} AS qv
+  FROM embeddings WHERE ({_SQL_PQR_COIN})
+),
+seeds AS (SELECT vec_id FROM basev ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_PQ_CODES}),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv
+  FROM basev WHERE vec_id IN (SELECT vec_id FROM seeds)
+),
+ss AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+cb_sub AS (
+  SELECT cb.code, ss.s, cb.qv[ss.s * {_PQ_DSUB} + 1 : (ss.s + 1) * {_PQ_DSUB}] AS cv8
+  FROM cb CROSS JOIN ss
+),
+bsub AS (
+  SELECT b.vec_id, ss.s, b.qv[ss.s * {_PQ_DSUB} + 1 : (ss.s + 1) * {_PQ_DSUB}] AS v8
+  FROM basev b CROSS JOIN ss
+),
+benc AS (
+  SELECT vec_id, s, code, v8 FROM (
+    SELECT v.vec_id, v.s, c.code, v.v8,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.s
+             ORDER BY {_PQ_SUBD2.format(a='v.v8', b='c.cv8')}, c.code) AS rn
+    FROM bsub v JOIN cb_sub c ON c.s = v.s) t
+  WHERE rn = 1
+),
+nsub AS (
+  SELECT nv.vec_id, ss.s, nv.qv[ss.s * {_PQ_DSUB} + 1 : (ss.s + 1) * {_PQ_DSUB}] AS v8
+  FROM newv nv CROSS JOIN ss
+),
+nenc AS (
+  SELECT vec_id, s, code, v8 FROM (
+    SELECT v.vec_id, v.s, c.code, v.v8,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.s
+             ORDER BY {_PQ_SUBD2.format(a='v.v8', b='c.cv8')}, c.code) AS rn
+    FROM nsub v JOIN cb_sub c ON c.s = v.s) t
+  WHERE rn = 1
+),
+bcnt AS (SELECT s, code, CAST(COUNT(*) AS BIGINT) AS n_base FROM benc GROUP BY s, code),
+ncnt AS (SELECT s, code, CAST(COUNT(*) AS BIGINT) AS n_new FROM nenc GROUP BY s, code),
+decide AS (
+  SELECT c.s, c.code,
+         COALESCE(b.n_base, 0) AS n_base,
+         COALESCE(n.n_new, 0) AS n_new,
+         CASE WHEN COALESCE(n.n_new, 0) > 0
+                   AND {_REFRESH_DEN} * COALESCE(n.n_new, 0)
+                       >= {_REFRESH_NUM} * COALESCE(b.n_base, 0)
+              THEN 1 ELSE 0 END AS refreshed
+  FROM cb_sub c
+  LEFT JOIN bcnt b ON b.s = c.s AND b.code = c.code
+  LEFT JOIN ncnt n ON n.s = c.s AND n.code = c.code
+),
+members AS (
+  SELECT e.s, e.code, e.v8 FROM benc e
+  JOIN decide d ON d.s = e.s AND d.code = e.code AND d.refreshed = 1
+  UNION ALL
+  SELECT e.s, e.code, e.v8 FROM nenc e
+  JOIN decide d ON d.s = e.s AND d.code = e.code AND d.refreshed = 1
+),
+rmean AS (
+  SELECT s, code, CAST(SUM(v8[1]) AS BIGINT) // COUNT(*) AS r0
+  FROM members GROUP BY s, code
+)
+SELECT CAST(d.s AS BIGINT) AS s, d.code, d.n_base, d.n_new,
+       CAST(d.refreshed AS BIGINT) AS refreshed,
+       CAST(CASE WHEN d.refreshed = 1 THEN r.r0 ELSE c.cv8[1] END AS BIGINT) AS code_c0
+FROM decide d
+JOIN cb_sub c ON c.s = d.s AND c.code = d.code
+LEFT JOIN rmean r ON r.s = d.s AND r.code = d.code
+ORDER BY s, d.code
+"""
+
+
+@register(
+    "sim_pq_refresh",
+    oracle=_PQ_REFRESH_ORACLE,
+    tags=("similarity", "maintenance"),
+)
+def sim_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ index refresh — ``sim_ivf_refresh``'s twin on the
+    code-table index, completing the round-10 maintenance family (text
+    index, LSH index, IVF cells, PQ codebooks): given a BASE corpus whose
+    8×16 codebooks and code table are the standing index
+    (content-addressed md5 split of the embeddings), ENCODE the appended
+    batch against the EXISTING codebooks map-side (one broadcast of
+    8×16 subvector rows against O(new·M) exploded rows — the cheap step;
+    no codebook re-train, exactly how a production PQ index absorbs
+    appends), then re-center ONLY the (subspace, code) cells whose
+    appended count crossed the threshold (appended ≥ 20% of the cell's
+    indexed members, and at least one appended member). One row per cell:
+    base/new member counts, the refresh decision, and the first
+    component of the post-maintenance code vector (exact truncating-DIV
+    integer mean — identical in both engines), so the entire maintenance
+    pass hash-checks against the DuckDB oracle.
+
+    Scale shape: the appended batch costs O(new·M) broadcast-joined rows;
+    the re-center aggregate is gated by a broadcast semi-join on the
+    O(M·CODES) decision frame, so it touches members of REFRESHED cells
+    only — a quiet index costs O(new rows), never O(corpus). The base
+    encode here (``benc``) recomputes what a standing deployment reads
+    from its stored code table (the persisted-index argument of
+    ``fuzzy_dedup.lsh_base_index``); its cost is the amortized index
+    build, not the maintenance pass."""
+    e = load(spark, sf_dir, "embeddings")
+    from .data_selection import _md5_coin
+
+    is_new = _md5_coin(_PQR_COIN_PREFIX, F.col("vec_id"), _PQR_COIN_MOD) == 0
+    allq = e.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv"), is_new.alias("is_new")
+    )
+    base = allq.filter(~F.col("is_new")).select("vec_id", "qv")
+    newv = allq.filter(F.col("is_new")).select("vec_id", "qv")
+    # codebooks from the BASE corpus only (the standing index): the
+    # _PQ_CODES md5-smallest base vec_ids, tiny bounded index-build collect
+    seed_ids = [
+        r["vec_id"]
+        for r in base.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h")
+        .limit(_PQ_CODES)
+        .collect()
+    ]
+    cb_rows = [
+        (code, r["qv"])
+        for code, r in enumerate(
+            base.filter(F.col("vec_id").isin(seed_ids)).orderBy("vec_id").collect()
+        )
+    ]
+    cb = spark.createDataFrame(cb_rows, "code LONG, qv ARRAY<LONG>")
+    subspaces = F.array(
+        *[F.slice("qv", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)]
+    )
+    cb_sub = cb.select("code", F.posexplode(subspaces).alias("s", "cv8"))
+
+    def encode(frame: DataFrame) -> DataFrame:
+        v_sub = frame.select("vec_id", F.posexplode(subspaces).alias("s", "v8"))
+        w_enc = Window.partitionBy("vec_id", "s").orderBy("sub_d2", "code")
+        return (
+            v_sub.join(F.broadcast(cb_sub), "s")
+            .withColumn("sub_d2", _pq_subd2(F.col("v8"), F.col("cv8")))
+            .withColumn("rn", F.row_number().over(w_enc))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "s", "code", "v8")
+        )
+
+    benc = encode(base)
+    nenc = encode(newv)
+    bcnt = benc.groupBy("s", "code").agg(F.count(F.lit(1)).alias("nb"))
+    ncnt = nenc.groupBy("s", "code").agg(F.count(F.lit(1)).alias("nn"))
+    decide = (
+        cb_sub.select("s", "code", "cv8")
+        .join(bcnt, ["s", "code"], "left")
+        .join(ncnt, ["s", "code"], "left")
+        .select(
+            "s",
+            "code",
+            "cv8",
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("nn", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .withColumn(
+            "refreshed",
+            F.when(
+                (F.col("n_new") > 0)
+                & (
+                    F.lit(_REFRESH_DEN) * F.col("n_new")
+                    >= F.lit(_REFRESH_NUM) * F.col("n_base")
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    hot = F.broadcast(decide.filter(F.col("refreshed") == 1).select("s", "code"))
+    members = (
+        benc.select("s", "code", "v8")
+        .join(hot, ["s", "code"], "left_semi")
+        .unionByName(nenc.select("s", "code", "v8").join(hot, ["s", "code"], "left_semi"))
+    )
+    # only the reported component aggregates (the full re-centered code
+    # vector would be the same per-dim mean over all _PQ_DSUB dims)
+    rmean = (
+        members.select("s", "code", F.col("v8")[0].alias("v0"))
+        .groupBy("s", "code")
+        .agg(F.expr("sum(v0) DIV count(1)").alias("r0"))
+    )
+    return (
+        decide.join(rmean, ["s", "code"], "left")
+        .select(
+            F.col("s").cast("long").alias("s"),
+            "code",
+            "n_base",
+            "n_new",
+            "refreshed",
+            F.when(F.col("refreshed") == 1, F.col("r0"))
+            .otherwise(F.col("cv8")[0])
+            .cast("long")
+            .alias("code_c0"),
+        )
+        .orderBy("s", "code")
+    )

@@ -356,3 +356,135 @@ def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est_both - F.col("n_both_exact").cast("double")) <= bound
         ).alias("est_in_bounds"),
     )
+
+
+# --- sketch-gated exact heavy hitters ----------------------------------------------
+
+# φ-heavy-hitter: a key is heavy iff count·_HH_PHI_DEN ≥ N (φ = 1%).
+_HH_PHI_DEN = 100
+# Constructed skew (the scale_salted_skew_join precedent — the synthetic
+# tables carry no naturally φ-skewed high-cardinality key): a
+# content-addressed md5 coin sends ~2/5 of lineitem rows onto 16 hot keys
+# (≈2.5% of total mass each — heavy at any scale) while the rest keep a
+# per-part tail key whose cardinality GROWS with the corpus (each tail
+# key's share shrinks as parts multiply — never heavy past tiny SFs).
+_HH_HOT_MOD, _HH_HOT_KEEP = 5, 2
+_HH_HOT_KEYS = 16
+_HH_TAIL_BASE = 100_000_000
+_HH_COIN_PREFIX = "hh"
+
+_HH_SQL_KEY = (
+    f"CASE WHEN CAST('0x' || substr(md5('{_HH_COIN_PREFIX}|' || "
+    f"CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), "
+    f"1, 8) AS BIGINT) % {_HH_HOT_MOD} < {_HH_HOT_KEEP} "
+    f"THEN l_partkey % {_HH_HOT_KEYS} "
+    f"ELSE {_HH_TAIL_BASE} + l_partkey END"
+)
+
+_HH_ORACLE = f"""
+WITH f AS (SELECT {_HH_SQL_KEY} AS hh_key FROM lineitem),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM f)
+SELECT hh_key, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(COUNT(*) * 10000 // (SELECT c FROM n) AS BIGINT) AS share_bp
+FROM f GROUP BY hh_key
+HAVING COUNT(*) * {_HH_PHI_DEN} >= (SELECT c FROM n)
+ORDER BY hh_key
+"""
+
+
+def _hh_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skewed single-column fact frame both routes aggregate."""
+    from .data_selection import _md5_coin
+
+    li = load(spark, sf_dir, "lineitem")
+    coin = _md5_coin(
+        _HH_COIN_PREFIX,
+        F.concat_ws(
+            "|", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        ),
+        _HH_HOT_MOD,
+    )
+    key = (
+        F.when(coin < _HH_HOT_KEEP, F.col("l_partkey") % _HH_HOT_KEYS)
+        .otherwise(F.lit(_HH_TAIL_BASE) + F.col("l_partkey"))
+        .cast("long")
+    )
+    return li.select(key.alias("hh_key"))
+
+
+def _hh_candidates(spark: SparkSession, fact: DataFrame, n_total: int) -> DataFrame:
+    """Rows of keys whose COUNT-MIN estimate clears the φ threshold.
+
+    The CMS counter table is built with one map-side-combined aggregation
+    over depth×width (4×256) groups (per-partition partials ARE
+    per-partition sketches; the shuffle merges ≤ 1024 rows per partition,
+    never keys), collected as bounded index state (the Bloom-bitmap /
+    PQ-codebook precedent) and re-broadcast as ONE array literal. The probe
+    is map-only: one md5 + depth array lookups per row; no key ever
+    shuffles unless its ESTIMATE is already heavy. CMS only overestimates,
+    so no true heavy hitter is ever dropped (the zero-false-negative side
+    of the sketch contract — asserted in tests/test_sketches.py)."""
+    cells = (
+        fact.select(cms_cell_structs(F.col("hh_key").cast("string")).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    table = [0] * (_CMS_D * _CMS_W)
+    for r in cells.collect():  # bounded: ≤ depth×width rows, data-independent
+        table[r["d"] * _CMS_W + r["bucket"]] = r["cnt"]
+    arr = F.lit(table)  # one Literal node — never rebuilt per row
+    slots = _digest_slots(F.col("hh_key").cast("string"), "cms", _CMS_D)
+    est = F.least(
+        *[
+            F.element_at(arr, (F.lit(d * _CMS_W) + slots[d] % _CMS_W + 1).cast("int"))
+            for d in range(_CMS_D)
+        ]
+    )
+    return fact.filter(est * _HH_PHI_DEN >= F.lit(n_total))
+
+
+@register("agg_heavy_hitters", oracle=_HH_ORACLE, tags=("agg", "sketch", "scale"))
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT φ-heavy hitters (count ≥ 1% of N) with a count-min prefilter
+    — the sketch-gated two-phase plan (CMS candidates → exact confirm),
+    the same accelerate-then-verify contract as ``scale_bloom_semi_join``:
+    the RESULT equals the plain GROUP BY ... HAVING the oracle computes;
+    what the sketch buys at 100 TB is the shuffle. A plain heavy-hitter
+    query hash-shuffles EVERY distinct key to count it; here the CMS pass
+    is map-side-combined into a 4×256 counter table, the probe drops the
+    long tail map-side (a tail key only survives if all 4 of its cells
+    collide into heavy mass), and only candidate keys' rows reach the
+    exact count's exchange. Output: (hh_key, cnt, share_bp) — exact count
+    and basis-point share, both integers, ordered by key.
+    """
+    fact = _hh_fact(spark, sf_dir)
+    n_total = fact.count()  # parquet-stat-backed scalar
+    cand = _hh_candidates(spark, fact, n_total)
+    return (
+        cand.groupBy("hh_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * _HH_PHI_DEN >= F.lit(n_total))
+        .select(
+            "hh_key",
+            "cnt",
+            F.expr(f"cnt * 10000 DIV {n_total}").alias("share_bp"),
+        )
+        .orderBy("hh_key")
+    )
+
+
+def hh_prefilter_count(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
+    """Test helper: (fact rows, rows passing the CMS prefilter, rows of
+    TRUE heavy-hitter keys). No-false-negative ⇒ true ≤ candidates; the
+    prefilter's point ⇒ candidates ≪ fact."""
+    fact = _hh_fact(spark, sf_dir)
+    n_total = fact.count()
+    cand = _hh_candidates(spark, fact, n_total)
+    true_keys = (
+        fact.groupBy("hh_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * _HH_PHI_DEN >= F.lit(n_total))
+        .select("hh_key")
+    )
+    n_true = fact.join(F.broadcast(true_keys), "hh_key", "left_semi").count()
+    return n_total, cand.count(), n_true

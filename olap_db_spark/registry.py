@@ -80,6 +80,9 @@ _PRIORITY: tuple[str, ...] = (
     # tier-2 row past slot 50).
     "sim_ivf_refresh",
     "dedup_lsh_incremental",
+    "agg_heavy_hitters",
+    "sim_pq_refresh",
+    "ts_rollup_incremental",
     # Tier 1 — the 10 rows whose latest green is round 6 (the rotation
     # test's must-have set).
     "join_cross",
@@ -95,13 +98,17 @@ _PRIORITY: tuple[str, ...] = (
     # Tier 2 — 40 of the 50 rows whose latest green is round 7.
     # Integer-SUM / join-heavy / fixpoint shapes first (most exposed to
     # driver-side arrow/HUGEINT drift and plan changes); map-only and
-    # small-result shapes later. TEN r7 rows defer to round 11 by sitting
-    # past slot 50 (least drift-exposed: func_date_family,
+    # small-result shapes later. THIRTEEN r7 rows defer to round 11 by
+    # sitting past slot 50 (least drift-exposed: func_date_family,
     # func_explode_wordcount, func_json_extract, func_regexp_family,
     # func_split_key_epoch, func_string_family, func_url_normalize are
     # pure column expressions pytest-covered; window_lag_lead,
     # window_ranking, window_running_sum are single-pass deterministic
-    # windows with dedicated pytest coverage).
+    # windows with dedicated pytest coverage; ts_cohort_retention,
+    # ts_daily_rollup and ts_funnel — displaced by the three later tier-0
+    # additions — are single-aggregation shapes with event-fuzz pytest
+    # coverage, and ts_daily_rollup's aggregation is re-exercised through
+    # ts_rollup_incremental's fresh driver row, which shares it).
     "q6_forecast_revenue",
     "q14_promo_revenue",
     "q19_brand_band_revenue",

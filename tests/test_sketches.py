@@ -86,3 +86,19 @@ def test_zorder_write_path_clusters_both_dims(spark, tmp_path):
     assert len(stats) >= 2
     for a, b in zip(stats, stats[1:]):
         assert a["hi"] <= b["lo"], (a, b)
+
+
+def test_heavy_hitter_prefilter_contract(spark):
+    """CMS-gated heavy hitters: (a) zero false negatives — every row of a
+    TRUE heavy key passes the prefilter (the overestimate-only side of
+    the CMS contract, which is what makes the exact-confirm plan equal
+    to the plain GROUP BY/HAVING the oracle runs); (b) the prefilter
+    actually prunes — the high-cardinality tail never reaches the exact
+    count's exchange."""
+    from olap_db_spark.operators.sketches import hh_prefilter_count
+
+    n_fact, n_cand, n_true = hh_prefilter_count(spark, "/root/testdata/sf0.001")
+    assert n_true <= n_cand  # no false negatives
+    assert n_cand < n_fact  # the tail is dropped map-side
+    # the constructed skew guarantees heavy keys exist at every SF
+    assert n_true > 0
