@@ -418,29 +418,63 @@ def _hh_candidates(spark: SparkSession, fact: DataFrame, n_total: int) -> DataFr
     The CMS counter table is built with one map-side-combined aggregation
     over depth×width (4×256) groups (per-partition partials ARE
     per-partition sketches; the shuffle merges ≤ 1024 rows per partition,
-    never keys), collected as bounded index state (the Bloom-bitmap /
-    PQ-codebook precedent) and re-broadcast as ONE array literal. The probe
-    is map-only: one md5 + depth array lookups per row; no key ever
-    shuffles unless its ESTIMATE is already heavy. CMS only overestimates,
-    so no true heavy hitter is ever dropped (the zero-false-negative side
-    of the sketch contract — asserted in tests/test_sketches.py)."""
+    never keys) and probed exactly like the Bloom bitmap: one broadcast
+    hash join per depth against the SAME canonically-aliased 1024-row
+    subtree, so Spark plans ONE BroadcastExchange and reuses it — the
+    probe is map-only, 1 md5 + depth broadcast lookups per row, and no
+    key ever shuffles unless its ESTIMATE is already heavy. (A first
+    draft embedded the counter table as an F.lit(list) literal — that
+    compiles to a per-row 1024-element CreateArray, ×depth copies under
+    the least(); the join form costs a hash probe instead.) Inner joins
+    are lossless here: every existing key's own contributions put ≥ 1 in
+    all of its depth cells, so its cell rows always exist. CMS only
+    overestimates, so no true heavy hitter is ever dropped (the
+    zero-false-negative side of the sketch contract — asserted in
+    tests/test_sketches.py).
+
+    Hash family: native ``xxhash64(key, seed=d)`` — this CMS is INTERNAL
+    state (the query's hashed output is only hh_key/cnt/share_bp; the
+    oracle never sees the sketch), so the portable-md5 recipe
+    ``agg_count_min_sketch`` needs for ITS oracle would be pure per-row
+    overhead here (the Bloom bitmap's round-5 rule: build and probe only
+    need to agree with each other)."""
+
+    def hh_slot(d: int):
+        return F.pmod(F.xxhash64(F.col("hh_key"), F.lit(d)), F.lit(_CMS_W))
+
     cells = (
-        fact.select(cms_cell_structs(F.col("hh_key").cast("string")).alias("c"))
+        fact.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("long").alias("d"),
+                            hh_slot(d).alias("bucket"),
+                        )
+                        for d in range(_CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
         .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    table = [0] * (_CMS_D * _CMS_W)
-    for r in cells.collect():  # bounded: ≤ depth×width rows, data-independent
-        table[r["d"] * _CMS_W + r["bucket"]] = r["cnt"]
-    arr = F.lit(table)  # one Literal node — never rebuilt per row
-    slots = _digest_slots(F.col("hh_key").cast("string"), "cms", _CMS_D)
-    est = F.least(
-        *[
-            F.element_at(arr, (F.lit(d * _CMS_W) + slots[d] % _CMS_W + 1).cast("int"))
-            for d in range(_CMS_D)
-        ]
-    )
-    return fact.filter(est * _HH_PHI_DEN >= F.lit(n_total))
+    probe = fact
+    for d in range(_CMS_D):
+        probe = probe.withColumn(f"b{d}", hh_slot(d))
+    for d in range(_CMS_D):
+        # .alias (not fresh recompute) keeps the cells subtree canonically
+        # identical across the probes → one BroadcastExchange, reused
+        cd = cells.alias(f"cms{d}")
+        probe = probe.join(
+            F.broadcast(cd),
+            (F.col(f"cms{d}.d") == d) & (F.col(f"cms{d}.bucket") == F.col(f"b{d}")),
+        ).withColumn(f"est{d}", F.col(f"cms{d}.cnt"))
+        probe = probe.drop(F.col(f"cms{d}.d")).drop(F.col(f"cms{d}.bucket")).drop(
+            F.col(f"cms{d}.cnt")
+        )
+    est = F.least(*[F.col(f"est{d}") for d in range(_CMS_D)])
+    return probe.filter(est * _HH_PHI_DEN >= F.lit(n_total)).select("hh_key")
 
 
 @register("agg_heavy_hitters", oracle=_HH_ORACLE, tags=("agg", "sketch", "scale"))
