@@ -1333,13 +1333,14 @@ def sim_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer mean — identical in both engines), so the entire maintenance
     pass hash-checks against the DuckDB oracle.
 
-    Scale shape: the appended batch costs O(new·M) broadcast-joined rows;
-    the re-center aggregate is gated by a broadcast semi-join on the
-    O(M·CODES) decision frame, so it touches members of REFRESHED cells
-    only — a quiet index costs O(new rows), never O(corpus). The base
-    encode here (``benc``) recomputes what a standing deployment reads
-    from its stored code table (the persisted-index argument of
-    ``fuzzy_dedup.lsh_base_index``); its cost is the amortized index
+    Scale shape: the appended batch costs O(new·M) broadcast-joined rows,
+    folded by ONE map-side-combinable hash aggregate into per-cell
+    (count, component-sum) stats — the decision AND the re-centered mean
+    both come out of that O(M·CODES) stats frame, so there is no second
+    members pass at all and a quiet index costs O(new rows), never
+    O(corpus). The base encode here recomputes what a standing deployment
+    reads from its stored code-table stats (the persisted-index argument
+    of ``fuzzy_dedup.lsh_base_index``); its cost is the amortized index
     build, not the maintenance pass."""
     e = load(spark, sf_dir, "embeddings")
     from .data_selection import _md5_coin
@@ -1373,31 +1374,51 @@ def sim_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb_sub = cb.select("code", F.posexplode(subspaces).alias("s", "cv8"))
 
-    def encode(frame: DataFrame) -> DataFrame:
+    def encode_stats(frame: DataFrame) -> DataFrame:
+        """Encode a (vec_id, qv) frame against the broadcast codebooks and
+        fold straight into per-(s, code) stats: member count + sum of the
+        reported component. The argmin is ONE hash aggregate —
+        min(struct(d2, code, v8)) with (d2, code) unique per (vec_id, s),
+        so ties never reach v8 — instead of a row_number window (no
+        shuffle+sort of the N·M·CODES candidate stream; partials combine
+        map-side). Per-cell sums make the gated members re-read
+        unnecessary: count and component-sum for EVERY cell come out of
+        the same aggregate, and the refreshed mean is (sb+sn) DIV (nb+nn)
+        — identical to averaging the members directly, so the oracle's
+        members-based CTE is unchanged."""
         v_sub = frame.select("vec_id", F.posexplode(subspaces).alias("s", "v8"))
-        w_enc = Window.partitionBy("vec_id", "s").orderBy("sub_d2", "code")
-        return (
+        enc = (
             v_sub.join(F.broadcast(cb_sub), "s")
-            .withColumn("sub_d2", _pq_subd2(F.col("v8"), F.col("cv8")))
-            .withColumn("rn", F.row_number().over(w_enc))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "s", "code", "v8")
+            .groupBy("vec_id", "s")
+            .agg(
+                F.min(
+                    F.struct(
+                        _pq_subd2(F.col("v8"), F.col("cv8")).alias("d2"),
+                        F.col("code").alias("code"),
+                        F.col("v8").alias("v8"),
+                    )
+                ).alias("m")
+            )
+            .select("s", F.col("m.code").alias("code"), F.col("m.v8").alias("v8"))
+        )
+        return enc.groupBy("s", "code").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum(F.col("v8")[0]).alias("sv0")
         )
 
-    benc = encode(base)
-    nenc = encode(newv)
-    bcnt = benc.groupBy("s", "code").agg(F.count(F.lit(1)).alias("nb"))
-    ncnt = nenc.groupBy("s", "code").agg(F.count(F.lit(1)).alias("nn"))
+    bstat = encode_stats(base)
+    nstat = encode_stats(newv)
     decide = (
         cb_sub.select("s", "code", "cv8")
-        .join(bcnt, ["s", "code"], "left")
-        .join(ncnt, ["s", "code"], "left")
+        .join(bstat.withColumnsRenamed({"cnt": "nb", "sv0": "sb"}), ["s", "code"], "left")
+        .join(nstat.withColumnsRenamed({"cnt": "nn", "sv0": "sn"}), ["s", "code"], "left")
         .select(
             "s",
             "code",
             "cv8",
             F.coalesce("nb", F.lit(0)).cast("long").alias("n_base"),
             F.coalesce("nn", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("sb", F.lit(0)).cast("long").alias("sb"),
+            F.coalesce("sn", F.lit(0)).cast("long").alias("sn"),
         )
         .withColumn(
             "refreshed",
@@ -1413,31 +1434,17 @@ def sim_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
-    hot = F.broadcast(decide.filter(F.col("refreshed") == 1).select("s", "code"))
-    members = (
-        benc.select("s", "code", "v8")
-        .join(hot, ["s", "code"], "left_semi")
-        .unionByName(nenc.select("s", "code", "v8").join(hot, ["s", "code"], "left_semi"))
-    )
-    # only the reported component aggregates (the full re-centered code
-    # vector would be the same per-dim mean over all _PQ_DSUB dims)
-    rmean = (
-        members.select("s", "code", F.col("v8")[0].alias("v0"))
-        .groupBy("s", "code")
-        .agg(F.expr("sum(v0) DIV count(1)").alias("r0"))
-    )
-    return (
-        decide.join(rmean, ["s", "code"], "left")
-        .select(
-            F.col("s").cast("long").alias("s"),
-            "code",
-            "n_base",
-            "n_new",
-            "refreshed",
-            F.when(F.col("refreshed") == 1, F.col("r0"))
-            .otherwise(F.col("cv8")[0])
-            .cast("long")
-            .alias("code_c0"),
+    return decide.select(
+        F.col("s").cast("long").alias("s"),
+        "code",
+        "n_base",
+        "n_new",
+        "refreshed",
+        F.when(
+            F.col("refreshed") == 1,
+            F.expr("(sb + sn) DIV (n_base + n_new)"),
         )
-        .orderBy("s", "code")
-    )
+        .otherwise(F.col("cv8")[0])
+        .cast("long")
+        .alias("code_c0"),
+    ).orderBy("s", "code")

@@ -439,42 +439,46 @@ def _hh_candidates(spark: SparkSession, fact: DataFrame, n_total: int) -> DataFr
     overhead here (the Bloom bitmap's round-5 rule: build and probe only
     need to agree with each other)."""
 
-    def hh_slot(d: int):
-        return F.pmod(F.xxhash64(F.col("hh_key"), F.lit(d)), F.lit(_CMS_W))
+    # Depth folds into ONE flat cell id (cell = d·width + bucket): a join
+    # condition of the form cms.d == <literal d> is a right-side-only
+    # predicate Catalyst pushes INTO the broadcast subtree, making the four
+    # subtrees textually different — 0 reuse, 4 full cells pipelines
+    # (measured 337 s at sf10). With the flat id every join's condition
+    # references both sides, the four broadcast children stay canonically
+    # identical, and the planner builds ONE BroadcastExchange + 3
+    # ReusedExchange (asserted in tests/test_sketches.py).
+    def hh_cell(d: int):
+        return F.lit(d * _CMS_W) + F.pmod(
+            F.xxhash64(F.col("hh_key"), F.lit(d)), F.lit(_CMS_W)
+        )
 
+    from pyspark import StorageLevel
+
+    # The counter table is ≤ depth×width rows — pin it ONCE (eager, the
+    # kmeans/PageRank bounded-index precedent) so the md5-coin build scan
+    # runs exactly once: left as a lazy subtree it is re-planned inside
+    # EVERY probe's BroadcastExchange (AQE does not reliably reuse the
+    # four exchanges — measured 4 full 60M-row build scans at sf10).
     cells = (
         fact.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).cast("long").alias("d"),
-                            hh_slot(d).alias("bucket"),
-                        )
-                        for d in range(_CMS_D)
-                    ]
-                )
-            ).alias("c")
+            F.explode(F.array(*[hh_cell(d) for d in range(_CMS_D)])).alias("cell")
         )
-        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    # est(key) ≥ T  ⟺  min over depths of cell count ≥ T  ⟺  EVERY depth's
+    # cell is heavy — so the probe is a chain of broadcast SEMI joins
+    # against the ≤ depth×width heavy-cell set (the Bloom probe shape:
+    # no carried columns, no least()), each condition computing the
+    # left-side cell id inline.
+    heavy = cells.filter(F.col("cnt") * _HH_PHI_DEN >= F.lit(n_total)).select("cell")
     probe = fact
     for d in range(_CMS_D):
-        probe = probe.withColumn(f"b{d}", hh_slot(d))
-    for d in range(_CMS_D):
-        # .alias (not fresh recompute) keeps the cells subtree canonically
-        # identical across the probes → one BroadcastExchange, reused
-        cd = cells.alias(f"cms{d}")
+        hd = heavy.alias(f"hv{d}")
         probe = probe.join(
-            F.broadcast(cd),
-            (F.col(f"cms{d}.d") == d) & (F.col(f"cms{d}.bucket") == F.col(f"b{d}")),
-        ).withColumn(f"est{d}", F.col(f"cms{d}.cnt"))
-        probe = probe.drop(F.col(f"cms{d}.d")).drop(F.col(f"cms{d}.bucket")).drop(
-            F.col(f"cms{d}.cnt")
+            F.broadcast(hd), F.col(f"hv{d}.cell") == hh_cell(d), "left_semi"
         )
-    est = F.least(*[F.col(f"est{d}") for d in range(_CMS_D)])
-    return probe.filter(est * _HH_PHI_DEN >= F.lit(n_total)).select("hh_key")
+    return probe.select("hh_key")
 
 
 @register("agg_heavy_hitters", oracle=_HH_ORACLE, tags=("agg", "sketch", "scale"))
