@@ -34,15 +34,47 @@ lengths, one scalar broadcast.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..registry import register
 from .relevance import _bm25_score_topk, _tokens
 
 
 def _p(index_path: str, part: str) -> str:
     return f"{index_path.rstrip('/')}/{part}"
+
+
+def _scratch_index_path(sf_dir: str, kind: str) -> str:
+    """Stable per-corpus scratch location for the REGISTERED from-index
+    queries (a deployment passes its own table path; the registry
+    callables take only ``(spark, sf_dir)``). Keyed by the documents
+    file's identity — path, size, mtime of every data file — so a
+    regenerated corpus can never be served from a stale index even when
+    row counts coincide; with an unchanged corpus, repeat calls (the
+    bench's interleaved runs, the driver's correctness pass) hit the
+    freshness gate and serve from the standing index, which is exactly
+    the amortization the index exists to buy."""
+    root = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(root):
+        for dirpath, _, files in os.walk(root):
+            for f in sorted(files):
+                fp = os.path.join(dirpath, f)
+                st = os.stat(fp)
+                parts.append(f"{fp}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(root)
+        parts.append(f"{root}:{st.st_size}:{st.st_mtime_ns}")
+    sig = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), "olap_db_spark_indexes", sig, kind
+    )
 
 
 def refresh_text_index(
@@ -162,3 +194,71 @@ def bm25_topk_from_index(
         .select("doc_id", "term", "tf", "df", "dl", "n_docs", "dl_sum", "dl_n")
     )
     return _bm25_score_topk(full, k)
+
+
+# --- registered from-index query twins (r10 VERDICT #5) -----------------------------
+#
+# The refresh entry points above take an index path argument, so they are
+# pytest-covered rather than driver-checked. These twins put the INDEX
+# PATH itself — refresh gate, pruned postings scan, corpus-untouched
+# query — under a driver CORRECTNESS row: each refreshes the persisted
+# index for the sf_dir corpus (freshness-gated no-op when current), then
+# answers FROM THE INDEX ALONE. The oracle is the from-scratch query's
+# oracle verbatim — the whole point is that the two paths are
+# bit-identical (tests/test_materialized.py asserts it directly).
+
+
+def _bm25_from_index_oracle() -> str:
+    from .relevance import _BM25_TOPK_ORACLE
+
+    return _BM25_TOPK_ORACLE
+
+
+def _lsh_from_index_oracle() -> str:
+    from .fuzzy_dedup import _LSH_INCREMENTAL_ORACLE
+
+    return _LSH_INCREMENTAL_ORACLE
+
+
+@register(
+    "text_bm25_from_index",
+    oracle=_bm25_from_index_oracle(),
+    tags=("text", "index", "maintenance"),
+)
+def text_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the standard query terms served from the PERSISTED
+    text index — ``text_bm25_topk``'s from-index twin (shared
+    ``_bm25_score_topk`` scoring, shared oracle). First call per corpus
+    builds the index (two hash aggregates over the token stream); every
+    later call hits the freshness gate and reads only the pruned postings
+    slice + two stats tables — the documents table is never touched at
+    query time. At 100 TB the index is the standing table a search tier
+    maintains on the ingest cadence; query cost is O(matching postings),
+    not O(corpus)."""
+    from .relevance import _QUERY_TERMS
+
+    idx = _scratch_index_path(sf_dir, "text")
+    refresh_text_index(spark, sf_dir, idx)
+    return bm25_topk_from_index(spark, idx, _QUERY_TERMS, k=10)
+
+
+@register(
+    "dedup_assign_from_index",
+    oracle=_lsh_from_index_oracle(),
+    tags=("dedup", "index", "maintenance"),
+)
+def dedup_assign_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup served from the PERSISTED index table —
+    ``dedup_lsh_incremental``'s from-index twin (same md5-coin base/new
+    split, same ``lsh_assign`` pipeline, same oracle). The base corpus is
+    collapsed to O(distinct texts) index rows ONCE (``refresh_lsh_index``,
+    freshness-gated on repeat calls); the arriving batch shingles only
+    itself and band-joins against the index table, so per-batch cost is
+    O(batch · collisions) with the corpus never re-shingled — the exact
+    shape a continuous-ingest dedup service runs at 100 TB."""
+    from .fuzzy_dedup import _dup_corpus, _inc_coin
+
+    docs = _dup_corpus(spark, sf_dir)
+    idx = _scratch_index_path(sf_dir, "lsh")
+    refresh_lsh_index(spark, docs.filter(~_inc_coin(F.col("doc_id"))), idx)
+    return assign_from_lsh_index(spark, idx, docs.filter(_inc_coin(F.col("doc_id"))))

@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "olap_db_spark.operators.analytics_tpch",
     "olap_db_spark.operators.graph",
     "olap_db_spark.operators.data_selection",
+    "olap_db_spark.operators.text_index",
 )
 
 
@@ -66,91 +67,22 @@ _LOADED = False
 # order); everything else follows in registration order.
 #
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-10 WINDOW (first 50 reach the driver) — stale-row rotation.
-    # Round 9 went 50/50 green (the fourth consecutive fully-green round);
-    # this window executes the r9 VERDICT's #1 ask: the 10 rows whose
-    # latest driver green is round 6 (they deferred past slot 50 last
-    # round and the rotation test now demands them), then 40 of the 50
-    # rows whose latest green is round 7. Ordered so the most
-    # defer-tolerant rows sit last — they are the ones displaced past
-    # slot 50 as new round-10 queries claim never-checked slots at the
-    # top of the tuple.
+    # ROUND-11 WINDOW (first 50 reach the driver) — stale-row rotation,
+    # executing the r10 VERDICT's #1 ask. Round 10 went 50/50 green (the
+    # fifth consecutive fully-green round); after it, 15 rows' latest
+    # green is round 7 (they go HARD-stale the moment CORRECTNESS_r11
+    # lands: latest_round-4 == 7) and 50 rows' latest green is round 8.
+    # The window carries all 15 r7 rows plus the 33 most drift-exposed
+    # r8 rows; 17 r8 rows defer to round 12 (listed at the bottom — they
+    # become hard-stale there and MUST lead the next rotation).
     #
-    # Tier 0 — NEW in round 10, never driver-checked (each displaces one
-    # tier-2 row past slot 50).
-    "sim_ivf_refresh",
-    "dedup_lsh_incremental",
-    "agg_heavy_hitters",
-    "sim_pq_refresh",
-    "ts_rollup_incremental",
-    # Tier 1 — the 10 rows whose latest green is round 6 (the rotation
-    # test's must-have set).
-    "join_cross",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_intersect_all",
-    "meta_show_databases",
-    "meta_show_create_table",
-    "func_array_ops",
-    "func_conditional",
-    "dedup_distinct",
-    # Tier 2 — 40 of the 50 rows whose latest green is round 7.
-    # Integer-SUM / join-heavy / fixpoint shapes first (most exposed to
-    # driver-side arrow/HUGEINT drift and plan changes); map-only and
-    # small-result shapes later. THIRTEEN r7 rows defer to round 11 by
-    # sitting past slot 50 (least drift-exposed: func_date_family,
-    # func_explode_wordcount, func_json_extract, func_regexp_family,
-    # func_split_key_epoch, func_string_family, func_url_normalize are
-    # pure column expressions pytest-covered; window_lag_lead,
-    # window_ranking, window_running_sum are single-pass deterministic
-    # windows with dedicated pytest coverage; ts_cohort_retention,
-    # ts_daily_rollup and ts_funnel — displaced by the three later tier-0
-    # additions — are single-aggregation shapes with event-fuzz pytest
-    # coverage, and ts_daily_rollup's aggregation is re-exercised through
-    # ts_rollup_incremental's fresh driver row, which shares it).
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q19_brand_band_revenue",
-    "agg_approx_count_distinct",
-    "agg_argmax_family",
-    "agg_histogram",
-    "agg_hll_mergeable",
-    "agg_ohlc_hourly",
-    "agg_percentile_approx",
-    "agg_pivot",
-    "agg_quantiles",
-    "agg_rollup",
-    "agg_string_agg",
-    "agg_topk_per_key",
-    "dedup_cluster_best",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
-    "dedup_keep_latest",
-    "dedup_lsh_eval",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "fuzzy_levenshtein_match",
-    "mm_decode_resize_stats",
-    "scale_interval_bucket_join",
-    "sim_ann_lsh",
-    "sim_hybrid_rrf_ivf",
-    "sim_ivf_search",
-    "sim_knn_bruteforce",
-    "sim_pq_search",
-    "text_contamination_check",
-    "text_domain_cap",
-    "text_dsir_select",
-    "text_pack_sequences",
-    "text_tfidf_topterms",
-    "ts_asof_prior_click",
-    "ts_cohort_retention",
-    "ts_daily_rollup",
-    "ts_funnel",
-    # Deferred-to-round-11 tail (still priority-ordered so they lead the
-    # next rotation).
+    # Tier 0 — NEW in round 11, never driver-checked: the from-index
+    # query twins (r10 VERDICT #5). Each displaces one trailing tier-2
+    # row past slot 50.
+    "text_bm25_from_index",
+    "dedup_assign_from_index",
+    # Tier 1 — the 15 rows whose latest green is round 7 (the rotation
+    # tripwire's must-have set once r11 lands).
     "func_date_family",
     "func_explode_wordcount",
     "func_json_extract",
@@ -158,9 +90,78 @@ _PRIORITY: tuple[str, ...] = (
     "func_split_key_epoch",
     "func_string_family",
     "func_url_normalize",
+    "text_tfidf_topterms",
+    "ts_asof_prior_click",
+    "ts_cohort_retention",
+    "ts_daily_rollup",
+    "ts_funnel",
     "window_lag_lead",
     "window_ranking",
     "window_running_sum",
+    # Tier 2 — 35 of the 50 r8 rows, most drift-exposed first
+    # (decorrelated TPC-H joins, skew/bloom/runtime-filter plans,
+    # k-means/IVF/PQ fixpoints, Python-worker multimodal rows, sessionizing
+    # windows — the shapes most sensitive to plan changes and arrow/HUGEINT
+    # driver drift); the LAST TWO names sit at slots 51-52 once both
+    # tier-0 twins register, deferring to round 12 by design
+    # (single-pass deterministic windows with dedicated pytest coverage).
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q18_large_volume_orders",
+    "q20_promotion_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "join_asof_nearest",
+    "scale_bloom_semi_join",
+    "scale_repartition_agg",
+    "scale_salted_skew_join",
+    "sim_ivf_centroids",
+    "sim_ivf_eval",
+    "sim_pq_eval",
+    "dedup_exact",
+    "dedup_minhash_groups",
+    "agg_corr_covar",
+    "agg_count_min_sketch",
+    "agg_median_exact",
+    "agg_sum_map",
+    "mm_audio_rms_windows",
+    "mm_real_decode_stats",
+    "mm_video_frame_sample",
+    "ts_gap_fill",
+    "ts_sequence_match",
+    "ts_session_window",
+    "ts_sliding_window",
+    "ts_tumbling_window",
+    "window_distribution",
+    "window_range_frame",
+    # Deferred-to-round-12 r8 tail (hard-stale there; they lead the next
+    # rotation): func_bitwise_family, func_date_arith, meta_show_tables,
+    # agg_basic_stats, text_bm25_search (its scoring helper earns a fresh
+    # row via text_bm25_from_index, which shares _bm25_score_topk) and the
+    # ten map-only text_* rows — all pure-expression/map-only shapes with
+    # dedicated pytest + fuzz coverage, plus the two overflow windows
+    # above. Still priority-ordered so they lead the next rotation.
+    "func_bitwise_family",
+    "func_date_arith",
+    "meta_show_tables",
+    "agg_basic_stats",
+    "text_bm25_search",
+    "text_doc_chunking",
+    "text_domain_mixture",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_ngram_topk",
+    "text_pii_redact",
+    "text_quality_filter",
+    "text_quality_signals",
+    "text_stats_by_lang",
+    "text_token_count_bpe",
 )
 
 

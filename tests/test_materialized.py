@@ -158,3 +158,55 @@ def test_lsh_index_persist_and_assign(spark, tmp_path):
     assert refresh_lsh_index(spark, base, idx) is False
     assert _state(os.path.join(idx, "classes")) == before
     assert refresh_lsh_index(spark, base, idx, force=True) is True
+
+
+def test_registered_from_index_twins(spark):
+    """The REGISTERED from-index twins (r10 VERDICT #5) equal their
+    from-scratch counterparts bit-for-bit, and the second call serves
+    from the standing scratch index (freshness gate: no rebuild)."""
+    import shutil
+
+    from olap_db_spark import registry
+    from olap_db_spark.operators.relevance import text_bm25_topk
+    from olap_db_spark.operators.text_index import (
+        _scratch_index_path,
+        refresh_text_index,
+        text_bm25_from_index,
+        dedup_assign_from_index,
+    )
+
+    # start from a cold scratch index so the build path runs in-test
+    for kind in ("text", "lsh"):
+        shutil.rmtree(_scratch_index_path(SF, kind), ignore_errors=True)
+
+    got = [tuple(r) for r in text_bm25_from_index(spark, SF).collect()]
+    want = [tuple(r) for r in text_bm25_topk(spark, SF).collect()]
+    assert got == want and got
+
+    # warm path: the index is current, so refresh no-ops...
+    idx = _scratch_index_path(SF, "text")
+    before = _state(os.path.join(idx, "postings"))
+    assert refresh_text_index(spark, SF, idx) is False
+    # ...and the twin still returns the identical result from the index
+    assert [tuple(r) for r in text_bm25_from_index(spark, SF).collect()] == want
+    assert _state(os.path.join(idx, "postings")) == before
+
+    # LSH twin: equals the registered in-memory incremental query
+    inc = registry.all_queries()["dedup_lsh_incremental"].fn
+    got = sorted(tuple(r) for r in dedup_assign_from_index(spark, SF).collect())
+    want = sorted(tuple(r) for r in inc(spark, SF).collect())
+    assert got == want and got
+    # warm path is served from the standing classes table
+    lidx = _scratch_index_path(SF, "lsh")
+    before = _state(os.path.join(lidx, "classes"))
+    got2 = sorted(tuple(r) for r in dedup_assign_from_index(spark, SF).collect())
+    assert got2 == want
+    assert _state(os.path.join(lidx, "classes")) == before
+
+    # both twins share their from-scratch query's oracle verbatim
+    qs = registry.all_queries()
+    assert qs["text_bm25_from_index"].oracle == qs["text_bm25_topk"].oracle
+    assert (
+        qs["dedup_assign_from_index"].oracle
+        == qs["dedup_lsh_incremental"].oracle
+    )

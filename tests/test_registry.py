@@ -16,7 +16,10 @@ _ROWS_ONLY_OK: set[str] = set()
 
 
 def _correctness(round_no: int) -> dict:
-    p = pathlib.Path(f"CORRECTNESS_r0{round_no}.json")
+    # zero-pad to TWO digits, not a literal "0" prefix — the literal broke
+    # at round 10 (CORRECTNESS_r010.json), silently blinding the staleness
+    # math to the newest artifact
+    p = pathlib.Path(f"CORRECTNESS_r{round_no:02d}.json")
     return json.loads(p.read_text()) if p.exists() else {}
 
 
