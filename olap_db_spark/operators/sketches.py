@@ -412,7 +412,49 @@ def _hh_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(key.alias("hh_key"))
 
 
-def _hh_candidates(spark: SparkSession, fact: DataFrame, n_total: int) -> DataFrame:
+def _hh_cell(d: int):
+    """Flat CMS cell id (cell = d·width + bucket) for depth ``d``."""
+    return F.lit(d * _CMS_W) + F.pmod(
+        F.xxhash64(F.col("hh_key"), F.lit(d)), F.lit(_CMS_W)
+    )
+
+
+def _hh_cells(fact: DataFrame) -> DataFrame:
+    """The 4×256 CMS counter table, built with ONE map-side-combined
+    aggregation over the fact (per-partition partials ARE per-partition
+    sketches; the shuffle merges ≤ 1024 rows per partition, never keys)
+    and pinned as bounded index state (eager localCheckpoint, the
+    kmeans/PageRank precedent) so the md5-coin build scan runs exactly
+    once: left as a lazy subtree it is re-planned inside EVERY probe's
+    BroadcastExchange (AQE did not reliably reuse the four exchanges —
+    measured 4 full 60M-row build scans at sf10)."""
+    from pyspark import StorageLevel
+
+    return (
+        fact.select(
+            F.explode(F.array(*[_hh_cell(d) for d in range(_CMS_D)])).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+
+def _hh_total(cells: DataFrame) -> int:
+    """N derived from the checkpointed counter table instead of a
+    separate ``fact.count()`` pass (r10 VERDICT #4 — 3 scans of the
+    100 TB fact → 2): every fact row lands in exactly one cell per
+    depth, so the sum of ANY one depth's counts equals N exactly; depth
+    0 is the ``cell < width`` slice. coalesce: SUM over an empty counter
+    table is NULL, and an empty corpus must read N = 0 (the round-10
+    empty-relation SUM trap)."""
+    return (
+        cells.filter(F.col("cell") < _CMS_W)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
+
+
+def _hh_candidates(fact: DataFrame, cells: DataFrame, n_total: int) -> DataFrame:
     """Rows of keys whose COUNT-MIN estimate clears the φ threshold.
 
     The CMS counter table is built with one map-side-combined aggregation
@@ -446,26 +488,8 @@ def _hh_candidates(spark: SparkSession, fact: DataFrame, n_total: int) -> DataFr
     # (measured 337 s at sf10). With the flat id every join's condition
     # references both sides, the four broadcast children stay canonically
     # identical, and the planner builds ONE BroadcastExchange + 3
-    # ReusedExchange (asserted in tests/test_sketches.py).
-    def hh_cell(d: int):
-        return F.lit(d * _CMS_W) + F.pmod(
-            F.xxhash64(F.col("hh_key"), F.lit(d)), F.lit(_CMS_W)
-        )
-
-    from pyspark import StorageLevel
-
-    # The counter table is ≤ depth×width rows — pin it ONCE (eager, the
-    # kmeans/PageRank bounded-index precedent) so the md5-coin build scan
-    # runs exactly once: left as a lazy subtree it is re-planned inside
-    # EVERY probe's BroadcastExchange (AQE does not reliably reuse the
-    # four exchanges — measured 4 full 60M-row build scans at sf10).
-    cells = (
-        fact.select(
-            F.explode(F.array(*[hh_cell(d) for d in range(_CMS_D)])).alias("cell")
-        )
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    # ReusedExchange.
+    #
     # est(key) ≥ T  ⟺  min over depths of cell count ≥ T  ⟺  EVERY depth's
     # cell is heavy — so the probe is a chain of broadcast SEMI joins
     # against the ≤ depth×width heavy-cell set (the Bloom probe shape:
@@ -476,7 +500,7 @@ def _hh_candidates(spark: SparkSession, fact: DataFrame, n_total: int) -> DataFr
     for d in range(_CMS_D):
         hd = heavy.alias(f"hv{d}")
         probe = probe.join(
-            F.broadcast(hd), F.col(f"hv{d}.cell") == hh_cell(d), "left_semi"
+            F.broadcast(hd), F.col(f"hv{d}.cell") == _hh_cell(d), "left_semi"
         )
     return probe.select("hh_key")
 
@@ -492,12 +516,16 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is map-side-combined into a 4×256 counter table, the probe drops the
     long tail map-side (a tail key only survives if all 4 of its cells
     collide into heavy mass), and only candidate keys' rows reach the
-    exact count's exchange. Output: (hh_key, cnt, share_bp) — exact count
-    and basis-point share, both integers, ordered by key.
+    exact count's exchange. The fact is scanned exactly TWICE (counter
+    build, probe): N comes from the checkpointed counter table itself —
+    one depth's cell counts sum to N exactly — not a third count() pass.
+    Output: (hh_key, cnt, share_bp) — exact count and basis-point share,
+    both integers, ordered by key.
     """
     fact = _hh_fact(spark, sf_dir)
-    n_total = fact.count()  # parquet-stat-backed scalar
-    cand = _hh_candidates(spark, fact, n_total)
+    cells = _hh_cells(fact)
+    n_total = _hh_total(cells)
+    cand = _hh_candidates(fact, cells, n_total)
     return (
         cand.groupBy("hh_key")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -516,8 +544,9 @@ def hh_prefilter_count(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]
     TRUE heavy-hitter keys). No-false-negative ⇒ true ≤ candidates; the
     prefilter's point ⇒ candidates ≪ fact."""
     fact = _hh_fact(spark, sf_dir)
-    n_total = fact.count()
-    cand = _hh_candidates(spark, fact, n_total)
+    cells = _hh_cells(fact)
+    n_total = _hh_total(cells)
+    cand = _hh_candidates(fact, cells, n_total)
     true_keys = (
         fact.groupBy("hh_key")
         .agg(F.count(F.lit(1)).alias("cnt"))
