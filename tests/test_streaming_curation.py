@@ -268,3 +268,81 @@ def test_lsh_incremental_stream_equals_batch(spark, tmp_path):
     # replay of a committed trigger: nothing commits
     handler(new.filter("doc_id % 2 = 1"), 1)
     assert len(V.versions(results)) == 2
+
+
+def test_lsh_incremental_stream_from_persisted_index(spark, tmp_path):
+    """End-to-end streaming dedup over the PERSISTED LSH index table
+    (r10 VERDICT stretch a): the handler reads refresh_lsh_index's
+    classes table per trigger — stream == batch on the identical
+    base/new split, replay commits nothing, and an index refresh between
+    triggers is picked up WITHOUT rebuilding the handler or restarting
+    the query."""
+    from olap_db_spark.operators.fuzzy_dedup import (
+        _dup_corpus,
+        _inc_coin,
+        dedup_lsh_incremental,
+    )
+    from olap_db_spark.operators.text_index import refresh_lsh_index
+    from olap_db_spark.sources import versioned as V
+    from olap_db_spark.streaming.fuzzy import lsh_incremental_handler_from_index
+
+    corpus = _dup_corpus(spark, SF)
+    base = corpus.filter(~_inc_coin(F.col("doc_id")))
+    new = corpus.filter(_inc_coin(F.col("doc_id")))
+
+    idx = str(tmp_path / "lsh_index")
+    assert refresh_lsh_index(spark, base, idx) is True
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    new.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "a.parquet"))
+    new.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    results = str(tmp_path / "assigned")
+    handler = lsh_incremental_handler_from_index(idx, results)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert len(V.versions(results)) == 2, "one results delta per trigger"
+    got = sorted(tuple(r) for r in V.read_head(spark, results).collect())
+    want = sorted(tuple(r) for r in dedup_lsh_incremental(spark, SF).collect())
+    assert got == want, "stream != batch on the identical base/new split"
+
+    # replay of a committed trigger: nothing commits
+    handler(new.filter("doc_id % 2 = 1"), 1)
+    assert len(V.versions(results)) == 2
+
+    # index refresh between triggers is picked up by the SAME handler:
+    # fold the streamed docs into the index, then re-assign a verbatim
+    # clone of a doc that previously FOUNDED its own group — it must now
+    # match the refreshed index (its own text is in the classes table).
+    founder = next(r for r in got if r[1] == r[0])
+    assert refresh_lsh_index(spark, corpus, idx) is True
+    clone = corpus.filter(F.col("doc_id") == founder[0]).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    handler(clone, 2)
+    assert len(V.versions(results)) == 3
+    ((new_doc, assigned, n_matches),) = [
+        tuple(r)
+        for r in V.read_head(spark, results).collect()
+        if r["new_doc"] == founder[0] + 10_000_000
+    ]
+    # against the BASE index the founder matched nothing (it founded its
+    # own group); against the refreshed index its verbatim clone matches
+    # at least its own class — and joins a group led by a doc no later
+    # than the founder (n_matches now counts FULL-corpus class members,
+    # so it can exceed the founder's base-only count)
+    assert assigned <= founder[0] and assigned != new_doc
+    assert n_matches >= 1
