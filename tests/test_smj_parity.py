@@ -15,6 +15,14 @@ the sort-merge path a large cluster would take on real data sizes.
 sf0.001 keeps the sweep cheap; the hazard is a plan-shape property, not
 a data-size one (the 3bc6fe5 regression reproduced at sf0.001 with the
 threshold disabled).
+
+Round 11 (r10 VERDICT stretch b): the sweep covers the FULL registry,
+not just the dedup family — every oracled query re-proves parity under
+the sort-merge plans a large cluster would take, closing the 3bc6fe5
+hazard class everywhere. Explicit ``F.broadcast()`` hints still
+broadcast (the hint overrides the threshold), so what flips is exactly
+the set of implicit broadcasts — the set that flips in production when
+dimension tables outgrow the threshold.
 """
 
 from __future__ import annotations
@@ -27,13 +35,9 @@ from tests.oracle_utils import compare_spark_duckdb
 
 ALL = registry.all_queries()
 
-# Every dedup-family query (the _dup_corpus union's consumers plus the
-# blocking/pair-join routes the hazard class targets).
-_SWEEP = sorted(
-    n
-    for n, q in ALL.items()
-    if ("dedup" in q.tags or n.startswith("dedup")) and q.oracle is not None
-)
+# Every oracled query in the registry (r11: extended from the dedup
+# family — the original hazard class's home — to everything).
+_SWEEP = sorted(n for n, q in ALL.items() if q.oracle is not None)
 
 
 @pytest.fixture(scope="module")
