@@ -46,6 +46,44 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def ambient_canary(spark) -> dict:
+    """Fixed-work ambient probes (r10 VERDICT #3): a JVM-only reduction
+    and a pandas-UDF identity pass, each over a constant synthetic input
+    independent of SF. Recorded before and after the suite so host
+    contention self-documents in the artifact: the r10 driver bench ran
+    2.54x the committed quiet baseline with 10-35x spikes exclusively on
+    Python-worker rows — adjudicating that took forensic cross-
+    referencing of four artifacts; comparing a run's canary values to
+    the committed baseline's makes it one division. Python-worker rows
+    amplify contention ~10x worse than JVM rows (worker spin-up + numpy
+    import per restarted worker), hence the two separate probes."""
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 64_000_000, 1, 32)
+        .selectExpr("sum((id * 2654435761) % 1000003) AS s")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    jvm = round(time.perf_counter() - t0, 3)
+
+    # self-contained closure: executor workers cannot import olap_db_spark
+    def _ident(batches):
+        for pdf in batches:
+            yield pdf
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 1_000_000, 1, 32)
+        .mapInPandas(_ident, "id long")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    py = round(time.perf_counter() - t0, 3)
+    return {"jvm": jvm, "python": py}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -56,6 +94,7 @@ def main() -> None:
 
     # Warm-up: JVM, codegen, parquet footers.
     run_query(queries["q1_pricing_summary"].fn(spark, sf_dir))
+    ambient_pre = ambient_canary(spark)
 
     names = sorted(queries)
     runs: dict[str, list[float]] = {n: [] for n in names}
@@ -65,6 +104,7 @@ def main() -> None:
             run_query(queries[name].fn(spark, sf_dir))
             runs[name].append(round(time.perf_counter() - t0, 3))
 
+    ambient_post = ambient_canary(spark)
     medians = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
     total = round(sum(medians.values()), 3)
     # Full per-query stats for local iteration / the judge.
@@ -73,6 +113,8 @@ def main() -> None:
             {
                 "total_sec": total,
                 "n_runs": n_runs,
+                "ambient_pre": ambient_pre,
+                "ambient_post": ambient_post,
                 "queries": medians,
                 "spread": {
                     n: {
@@ -102,6 +144,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": slowest,
+                "ambient": {"pre": ambient_pre, "post": ambient_post},
                 "sf": _sf_of(sf_dir),
             }
         )

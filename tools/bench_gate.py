@@ -58,8 +58,29 @@ def main() -> None:
         ).returncode
         if rc != 0:
             raise SystemExit(f"bench.py failed (rc={rc})")
-    base = committed_baseline()["queries"]
-    fresh = json.loads((_ROOT / "BENCH_FULL.json").read_text())["queries"]
+    base_full = committed_baseline()
+    fresh_full = json.loads((_ROOT / "BENCH_FULL.json").read_text())
+    base = base_full["queries"]
+    fresh = fresh_full["queries"]
+
+    # Ambient adjudication (r10 VERDICT #3): the canary runs fixed work,
+    # so fresh/committed canary ratios ARE the host-contention factors —
+    # a breach on a Python-worker row under an inflated python canary is
+    # ambient, not code (the r10 driver artifact spiked such rows 10-35x
+    # while quiet re-times matched the committed baseline exactly).
+    def _canary(d: dict, kind: str) -> float | None:
+        vals = [
+            d[k][kind]
+            for k in ("ambient_pre", "ambient_post")
+            if isinstance(d.get(k), dict) and kind in d[k]
+        ]
+        return sum(vals) / len(vals) if vals else None
+
+    factors = {}
+    for kind in ("jvm", "python"):
+        b, f = _canary(base_full, kind), _canary(fresh_full, kind)
+        if b and f:
+            factors[kind] = f / b
 
     breaches, news = [], []
     for q, t in sorted(fresh.items()):
@@ -69,10 +90,24 @@ def main() -> None:
             continue
         if b >= _BASE_FLOOR_SEC and t > _RATIO * b and t - b > _ABS_FLOOR_SEC:
             breaches.append((q, b, t))
+    if factors:
+        note = ", ".join(f"ambient_{k} x{v:.2f}" for k, v in sorted(factors.items()))
+        print(f"ambient canary vs committed baseline: {note}")
+        if any(v > 1.5 for v in factors.values()):
+            print(
+                "WARNING: host is contended relative to the committed "
+                "baseline run — breaches below are likely ambient; "
+                "re-time outliers on a quiet host before adjudicating"
+            )
     for q, t in news:
         print(f"NEW   {q}: {t:.2f} s (no committed baseline; not gated)")
     for q, b, t in breaches:
-        print(f"REGRESSION  {q}: {b:.2f} s -> {t:.2f} s ({t / b:.2f}x)")
+        amb = ""
+        if factors:
+            amb = " [" + ", ".join(
+                f"ambient_{k} x{v:.2f}" for k, v in sorted(factors.items())
+            ) + "]"
+        print(f"REGRESSION  {q}: {b:.2f} s -> {t:.2f} s ({t / b:.2f}x){amb}")
     total_b = sum(v for k, v in base.items() if k in fresh)
     total_f = sum(v for k, v in fresh.items() if k in base)
     ratio = f"({total_f / total_b:.2f}x)" if total_b else "(no shared queries)"
