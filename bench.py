@@ -56,31 +56,46 @@ def ambient_canary(spark) -> dict:
     referencing of four artifacts; comparing a run's canary values to
     the committed baseline's makes it one division. Python-worker rows
     amplify contention ~10x worse than JVM rows (worker spin-up + numpy
-    import per restarted worker), hence the two separate probes."""
-    t0 = time.perf_counter()
-    (
-        spark.range(0, 64_000_000, 1, 32)
-        .selectExpr("sum((id * 2654435761) % 1000003) AS s")
-        .write.mode("overwrite")
-        .format("noop")
-        .save()
-    )
-    jvm = round(time.perf_counter() - t0, 3)
+    import per restarted worker), hence the two separate probes.
+
+    Each probe runs TWICE and records the second: the first execution is
+    cold-start dominated (whole-stage codegen compile for the JVM probe;
+    32 python workers spinning up + importing pandas for the UDF probe —
+    measured 43 s cold vs 1.3 s warm on an otherwise idle host), and a
+    cold sample folded into the ambient factor would read as phantom
+    contention. Warm-vs-warm is the comparable quantity."""
+
+    def _jvm() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 64_000_000, 1, 32)
+            .selectExpr("sum((id * 2654435761) % 1000003) AS s")
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 3)
 
     # self-contained closure: executor workers cannot import olap_db_spark
     def _ident(batches):
         for pdf in batches:
             yield pdf
 
-    t0 = time.perf_counter()
-    (
-        spark.range(0, 1_000_000, 1, 32)
-        .mapInPandas(_ident, "id long")
-        .write.mode("overwrite")
-        .format("noop")
-        .save()
-    )
-    py = round(time.perf_counter() - t0, 3)
+    def _py() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 1_000_000, 1, 32)
+            .mapInPandas(_ident, "id long")
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    _jvm()
+    jvm = _jvm()
+    _py()
+    py = _py()
     return {"jvm": jvm, "python": py}
 
 
@@ -98,11 +113,18 @@ def main() -> None:
 
     names = sorted(queries)
     runs: dict[str, list[float]] = {n: [] for n in names}
+    # One canary per interleaved round: endpoint-only sampling missed a
+    # mid-run contention wave entirely (pre/post both read quiet around a
+    # 2.6x-inflated round-11 run) — the per-round timeline localizes WHEN
+    # the host degraded, which rounds' samples to distrust, and lets the
+    # median absorb them.
+    ambient_rounds: list[dict] = []
     for _ in range(n_runs):
         for name in names:
             t0 = time.perf_counter()
             run_query(queries[name].fn(spark, sf_dir))
             runs[name].append(round(time.perf_counter() - t0, 3))
+        ambient_rounds.append(ambient_canary(spark))
 
     ambient_post = ambient_canary(spark)
     medians = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
@@ -114,6 +136,7 @@ def main() -> None:
                 "total_sec": total,
                 "n_runs": n_runs,
                 "ambient_pre": ambient_pre,
+                "ambient_rounds": ambient_rounds,
                 "ambient_post": ambient_post,
                 "queries": medians,
                 "spread": {

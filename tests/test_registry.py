@@ -118,11 +118,14 @@ def test_bench_artifacts_are_ghost_free():
     """Every query named in the committed bench artifacts must still be
     registered — a renamed/removed query whose old timing lingers would
     silently corrupt tools/bench_gate.py's baseline and the generated
-    README tables. (The forward direction — artifacts COVERING every
-    registered query — is enforced by the round workflow's quiet-host
-    re-measure, not here: failing the suite on every mid-round query
-    addition would force bench runs on a contended host, which the bench
-    discipline forbids.)"""
+    README tables. The FORWARD direction is enforced for BENCH_FULL.json
+    only (r10 VERDICT #2: three round-10 operators shipped with no row in
+    any committed quiet bench): every registered query must have a
+    BENCH_FULL row, so adding a query obliges a quiet-host re-measure in
+    the same round. The sf1/sf10/sf100 artifacts stay backward-only —
+    probe scale is a judgment call per operator, and forcing a multi-hour
+    sf10 pass per added query would push bench runs onto contended
+    hosts, which the bench discipline forbids."""
     names = set(registry.all_queries())
     for art, sf in (
         ("BENCH_FULL.json", 0.1),
@@ -137,6 +140,12 @@ def test_bench_artifacts_are_ghost_free():
         ghosts = set(data["queries"]) - names
         assert not ghosts, f"{art} times unregistered queries: {sorted(ghosts)}"
         assert data["sf"] == sf, (art, data["sf"])
+    full = json.loads(pathlib.Path("BENCH_FULL.json").read_text())
+    unbenched = names - set(full["queries"])
+    assert not unbenched, (
+        f"registered queries missing from BENCH_FULL.json (re-run bench.py "
+        f"on a quiet host): {sorted(unbenched)}"
+    )
 
 
 def test_every_query_has_fn_and_oracle():
