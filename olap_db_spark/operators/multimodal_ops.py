@@ -552,7 +552,19 @@ def mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet file (one partition), so without the spread the whole
     # synth+decode chain would run on a single core. At 100 TB this is the
     # standard "spread the expensive decode" repartition.
-    docs = load(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    # PINNED partition count (round 11): repartition(col) alone compiles
+    # to shuffle origin REPARTITION_BY_COL, which AQE's partition
+    # coalescing is allowed to shrink — and does, folding this tiny
+    # exchange back to ONE partition (observed (0+1)/1 stages), silently
+    # re-serializing the decode. repartition(n, col) is
+    # REPARTITION_BY_NUM, which AQE must respect; defaultParallelism
+    # scales it to the session's cores here and to the cluster on a real
+    # deployment. The shuffled rows are just pruned doc_ids — the
+    # payloads are synthesized AFTER the exchange — so the spread costs
+    # O(ids), never O(media bytes), at any scale.
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     payloads = docs.select(
         "doc_id", _make_pcm_synth()(F.col("doc_id")).alias("payload")
     )
@@ -674,8 +686,11 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bug."""
     # same spread-the-decode repartition as mm_audio_rms_windows: one input
     # partition + orderBy's sampling pass would otherwise run the Python
-    # chain twice on one core
-    docs = load(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    # chain twice on one core (pinned count for the same AQE
+    # REPARTITION_BY_COL-coalescing reason — see mm_audio_rms_windows)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     payloads = docs.select(
         "doc_id", _make_video_synth()(F.col("doc_id")).alias("payload")
     )
