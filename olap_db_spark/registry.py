@@ -67,90 +67,21 @@ _LOADED = False
 # order); everything else follows in registration order.
 #
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-11 WINDOW (first 50 reach the driver) — stale-row rotation,
-    # executing the r10 VERDICT's #1 ask. Round 10 went 50/50 green (the
-    # fifth consecutive fully-green round); after it, 15 rows' latest
-    # green is round 7 (they go HARD-stale the moment CORRECTNESS_r11
-    # lands: latest_round-4 == 7) and 50 rows' latest green is round 8.
-    # The window carries all 15 r7 rows plus the 33 most drift-exposed
-    # r8 rows; 17 r8 rows defer to round 12 (listed at the bottom — they
-    # become hard-stale there and MUST lead the next rotation).
+    # ROUND-12 WINDOW (first 50 reach the driver) — stale-row rotation,
+    # executing the r11 VERDICT's #1 ask. Round 11 went 50/50 green (the
+    # sixth consecutive fully-green round); after it, 17 rows' latest
+    # green is round 8 (they go HARD-stale the moment CORRECTNESS_r12
+    # lands: latest_round-4 == 8) and 50 rows' latest green is round 9.
+    # The window carries all 17 r8 rows plus the 33 most drift-exposed
+    # r9 rows; 17 r9 rows defer to round 13 (listed at the bottom — they
+    # MUST lead the next rotation).
     #
-    # Tier 0 — NEW in round 11, never driver-checked: the from-index
-    # query twins (r10 VERDICT #5). Each displaces one trailing tier-2
-    # row past slot 50.
-    "text_bm25_from_index",
-    "dedup_assign_from_index",
-    # Tier 1 — the 15 rows whose latest green is round 7 (the rotation
-    # tripwire's must-have set once r11 lands).
-    "func_date_family",
-    "func_explode_wordcount",
-    "func_json_extract",
-    "func_regexp_family",
-    "func_split_key_epoch",
-    "func_string_family",
-    "func_url_normalize",
-    "text_tfidf_topterms",
-    "ts_asof_prior_click",
-    "ts_cohort_retention",
-    "ts_daily_rollup",
-    "ts_funnel",
-    "window_lag_lead",
-    "window_ranking",
-    "window_running_sum",
-    # Tier 2 — 35 of the 50 r8 rows, most drift-exposed first
-    # (decorrelated TPC-H joins, skew/bloom/runtime-filter plans,
-    # k-means/IVF/PQ fixpoints, Python-worker multimodal rows, sessionizing
-    # windows — the shapes most sensitive to plan changes and arrow/HUGEINT
-    # driver drift); the LAST TWO names sit at slots 51-52 once both
-    # tier-0 twins register, deferring to round 12 by design
-    # (single-pass deterministic windows with dedicated pytest coverage).
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q18_large_volume_orders",
-    "q20_promotion_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "join_asof_nearest",
-    "scale_bloom_semi_join",
-    "scale_repartition_agg",
-    "scale_salted_skew_join",
-    "sim_ivf_centroids",
-    "sim_ivf_eval",
-    "sim_pq_eval",
-    "dedup_exact",
-    "dedup_minhash_groups",
-    "agg_corr_covar",
-    "agg_count_min_sketch",
-    "agg_median_exact",
-    "agg_sum_map",
-    "mm_audio_rms_windows",
-    "mm_real_decode_stats",
-    "mm_video_frame_sample",
-    "ts_gap_fill",
-    "ts_sequence_match",
-    "ts_session_window",
-    "ts_sliding_window",
-    "ts_tumbling_window",
-    "window_distribution",
-    "window_range_frame",
-    # Deferred-to-round-12 r8 tail (hard-stale there; they lead the next
-    # rotation): func_bitwise_family, func_date_arith, meta_show_tables,
-    # agg_basic_stats, text_bm25_search (its scoring helper earns a fresh
-    # row via text_bm25_from_index, which shares _bm25_score_topk) and the
-    # ten map-only text_* rows — all pure-expression/map-only shapes with
-    # dedicated pytest + fuzz coverage, plus the two overflow windows
-    # above. Still priority-ordered so they lead the next rotation.
+    # Tier 1 — the 17 rows whose latest green is round 8 (the rotation
+    # tripwire's must-have set, named verbatim in the r11 VERDICT).
+    "agg_basic_stats",
     "func_bitwise_family",
     "func_date_arith",
     "meta_show_tables",
-    "agg_basic_stats",
     "text_bm25_search",
     "text_doc_chunking",
     "text_domain_mixture",
@@ -162,6 +93,72 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_signals",
     "text_stats_by_lang",
     "text_token_count_bpe",
+    "window_distribution",
+    "window_range_frame",
+    # Tier 2 — 33 of the 50 r9 rows, most drift-exposed first
+    # (decorrelated TPC-H joins, the full 8-type join family, pagerank
+    # fixpoint, Python-worker multimodal/pipeline rows, pagination
+    # keyset/top-k plans, banded dedup and sampled IVF/PQ evals — the
+    # shapes most sensitive to plan changes and arrow/HUGEINT driver
+    # drift). The LAST TWO names sit at slots 51-52 once round-12's
+    # tier-0 registrations land, deferring to round 13 by design
+    # (both carry 5σ statistical-contract pytest coverage).
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q4_priority_exists",
+    "q5_local_supplier_volume",
+    "q11_important_stock",
+    "q12_priority_lateness",
+    "q17_small_qty_revenue",
+    "join_full_outer",
+    "join_inner_chain",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_nonequi_band",
+    "join_right_outer",
+    "graph_pagerank_purchases",
+    "pipeline_corpus_curation",
+    "page_filtered_sorted",
+    "page_keyset",
+    "page_limit_offset",
+    "page_sort_limit",
+    "page_topk_per_group",
+    "mm_binary_features",
+    "dedup_keep_first",
+    "dedup_lsh_eval_sampled",
+    "dedup_semantic",
+    "dedup_span_exact",
+    "sim_ivf_eval_sampled",
+    "sim_ivf_kmeans",
+    "sim_pq_eval_sampled",
+    "ts_user_lifetime",
+    "scale_zorder_layout",
+    "sample_bernoulli",
+    "sample_stratified",
+    # Deferred-to-round-13 r9 tail (stale there; they lead the next
+    # rotation): seven pure-expression aggregation forms, func_math_family,
+    # two set-ops, six map-only/expression text_* rows and meta_select_one
+    # — all shapes with dedicated pytest + fuzz coverage and no plan
+    # sensitivity (single-pass groupBy or per-row expressions). Still
+    # priority-ordered so they lead the next rotation.
+    "agg_collect_set",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_id",
+    "agg_grouping_sets",
+    "agg_hll_intersect",
+    "agg_weighted_avg_pandas",
+    "func_math_family",
+    "setop_except",
+    "setop_except_all",
+    "text_bigram_lm_nll",
+    "text_bigram_nll_topk",
+    "text_bm25_topk",
+    "text_domain_kl",
+    "text_hybrid_rrf",
+    "text_repetition_stats",
+    "meta_select_one",
 )
 
 

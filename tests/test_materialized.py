@@ -210,3 +210,50 @@ def test_registered_from_index_twins(spark):
         qs["dedup_assign_from_index"].oracle
         == qs["dedup_lsh_incremental"].oracle
     )
+
+
+def test_scratch_index_root_and_prune(spark):
+    """r11 VERDICT #4 + ADVICE: the scratch root is per-user (uid in the
+    path, 0700, ownership-checked), the content signature is stable
+    across calls (fully-sorted walk), and a rebuild prunes orphaned
+    signature dirs of the SAME corpus while other corpora's indexes are
+    untouched."""
+    import shutil
+    import stat as stat_mod
+
+    from olap_db_spark.operators.text_index import (
+        _corpus_key,
+        _scratch_index_path,
+        _scratch_root,
+        text_bm25_from_index,
+    )
+
+    root = _scratch_root()
+    assert f"-{os.getuid()}" in os.path.basename(root)
+    assert stat_mod.S_IMODE(os.stat(root).st_mode) == 0o700
+
+    # signature is deterministic across calls on an unchanged corpus
+    idx = _scratch_index_path(SF, "text")
+    assert _scratch_index_path(SF, "text") == idx
+    sig = os.path.basename(os.path.dirname(idx))
+    cdir = os.path.join(root, _corpus_key(SF))
+
+    # plant an orphaned old-signature dir (what a regenerated corpus
+    # leaves behind) plus an index for a DIFFERENT corpus location
+    stale = os.path.join(cdir, "deadbeefdeadbeef")
+    os.makedirs(stale, exist_ok=True)
+    other_cdir = os.path.join(root, _corpus_key("/some/other/sfdir"))
+    os.makedirs(other_cdir, exist_ok=True)
+
+    # force the rebuild path (cold index) → prune runs
+    shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+    assert text_bm25_from_index(spark, SF).count() > 0
+    assert not os.path.exists(stale), "orphaned sig dir survived a rebuild"
+    assert os.path.isdir(os.path.join(cdir, sig))
+    assert os.path.isdir(other_cdir), "prune crossed corpus boundaries"
+    os.rmdir(other_cdir)
+
+    # warm call (no rebuild) leaves exactly one sig dir per corpus kind
+    assert text_bm25_from_index(spark, SF).count() > 0
+    sigs = [n for n in os.listdir(cdir) if os.path.isdir(os.path.join(cdir, n))]
+    assert sigs == [sig]

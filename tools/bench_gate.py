@@ -27,6 +27,7 @@ informationally and do not gate.
 from __future__ import annotations
 
 import json
+import statistics
 import subprocess
 import sys
 from pathlib import Path
@@ -68,19 +69,34 @@ def main() -> None:
     # a breach on a Python-worker row under an inflated python canary is
     # ambient, not code (the r10 driver artifact spiked such rows 10-35x
     # while quiet re-times matched the committed baseline exactly).
-    def _canary(d: dict, kind: str) -> float | None:
+    # ALL samples are consulted — pre, per-round, post (r11 ADVICE:
+    # endpoint-only averaging missed a mid-run contention wave that the
+    # per-round timeline bench.py records was added to catch): the
+    # baseline side uses the median (a quiet run's representative value),
+    # the fresh side reports median AND peak, and the contended-host
+    # warning fires on the PEAK so a wave confined to one interleaved
+    # round still triggers it.
+    def _samples(d: dict, kind: str) -> list[float]:
         vals = [
             d[k][kind]
             for k in ("ambient_pre", "ambient_post")
             if isinstance(d.get(k), dict) and kind in d[k]
         ]
-        return sum(vals) / len(vals) if vals else None
+        vals += [
+            r[kind]
+            for r in d.get("ambient_rounds") or []
+            if isinstance(r, dict) and kind in r
+        ]
+        return vals
 
-    factors = {}
+    factors, peaks = {}, {}
     for kind in ("jvm", "python"):
-        b, f = _canary(base_full, kind), _canary(fresh_full, kind)
-        if b and f:
-            factors[kind] = f / b
+        bs, fs = _samples(base_full, kind), _samples(fresh_full, kind)
+        if bs and fs:
+            b = statistics.median(bs)
+            if b > 0:
+                factors[kind] = statistics.median(fs) / b
+                peaks[kind] = max(fs) / b
 
     breaches, news = [], []
     for q, t in sorted(fresh.items()):
@@ -91,13 +107,17 @@ def main() -> None:
         if b >= _BASE_FLOOR_SEC and t > _RATIO * b and t - b > _ABS_FLOOR_SEC:
             breaches.append((q, b, t))
     if factors:
-        note = ", ".join(f"ambient_{k} x{v:.2f}" for k, v in sorted(factors.items()))
+        note = ", ".join(
+            f"ambient_{k} x{factors[k]:.2f} (peak x{peaks[k]:.2f})"
+            for k in sorted(factors)
+        )
         print(f"ambient canary vs committed baseline: {note}")
-        if any(v > 1.5 for v in factors.values()):
+        if any(v > 1.5 for v in peaks.values()):
             print(
-                "WARNING: host is contended relative to the committed "
-                "baseline run — breaches below are likely ambient; "
-                "re-time outliers on a quiet host before adjudicating"
+                "WARNING: host was contended relative to the committed "
+                "baseline run during at least one interleaved round — "
+                "breaches below are likely ambient; re-time outliers on "
+                "a quiet host before adjudicating"
             )
     for q, t in news:
         print(f"NEW   {q}: {t:.2f} s (no committed baseline; not gated)")
