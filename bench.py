@@ -92,11 +92,44 @@ def ambient_canary(spark) -> dict:
         )
         return round(time.perf_counter() - t0, 3)
 
+    # memory-bandwidth probe (r12): the identity pass moves ~8 MB and read
+    # QUIET (python 0.45-0.58) during a run whose multimodal rows sat at
+    # 10-20x — the hypervisor degradation hits allocation/bandwidth-heavy
+    # numpy work far harder than small Arrow hops, so a canary blind to
+    # that mode under-reports exactly the contention that matters most.
+    # This probe synthesizes and reduces ~10 MB of ndarray per task
+    # (320 MB across 32 tasks, SF-independent) — the mm_audio work shape.
+    def _mem(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                a = _np.arange(1_250_000, dtype=_np.int64) * (int(i) + 1)
+                w = a.reshape(-1, 250)
+                out.append(float((w * w).sum(axis=1).mean()))
+            import pandas as _pd
+
+            yield _pd.DataFrame({"id": pdf["id"], "v": out})
+
+    def _pymem() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 32, 1, 32)
+            .mapInPandas(_mem, "id long, v double")
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 3)
+
     _jvm()
     jvm = _jvm()
     _py()
     py = _py()
-    return {"jvm": jvm, "python": py}
+    _pymem()
+    pymem = _pymem()
+    return {"jvm": jvm, "python": py, "python_mem": pymem}
 
 
 def main() -> None:

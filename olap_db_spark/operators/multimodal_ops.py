@@ -697,3 +697,397 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same no-global-sort rationale as mm_audio_rms_windows: orderBy's
     # range sampling would re-run the synth+decode chain for nothing
     return payloads.mapInPandas(_make_video_decoder(), schema=_VID_SCHEMA)
+
+
+# --- Perceptual-hash image near-dup (r11 VERDICT #5) ---------------------------
+#
+# The multimodal family had decode + features but no DEDUP member, while text
+# has seven. This closes that gap with the classic image pipeline: decode →
+# 64-bit aHash (8×8 block means thresholded at the image mean) → Hamming-banded
+# candidate blocking (4 bands × 16 bits; the LSH band-key pattern from
+# fuzzy_dedup._lsh_candidates, never all-pairs) → exact Hamming verify in
+# integer bit ops. Banding is LOSSLESS at radius ≤ bands-1 by pigeonhole: a
+# pair within Hamming distance 3 differs in at most 3 of the 4 bands, so at
+# least one band value matches exactly and the equi-join emits the pair
+# (tests assert this against a brute-force sweep).
+#
+# The synthesized corpus makes the dedup REAL: each doc renders its group's
+# 64-bit base pattern (group = doc_id mod 200) as an 8×8 block image, with
+# 2/3 of docs flipping exactly one pattern bit — so same-group images sit at
+# Hamming distance ≤ 2 (within radius) while cross-group distances measure
+# ≥ 11. The oracle recomputes the hash from the closed-form bit formula and
+# brute-forces pairs, so a decoder bug that scrambles blocks breaks the hash.
+#
+# Scale shape: hashes are one tiny row per image (5 longs), built in one
+# Arrow-batched map-only decode pass; candidates come from 4 equi-joins on
+# 16-bit band values; verify touches candidates only. At 100 TB the hash
+# table is the standing index a dedup service maintains (the from-index
+# pattern of text_index.py applies verbatim), and the band width widens with
+# corpus diversity (e.g. a 256-bit pHash in 8×32 bands) to keep band-bucket
+# cardinality bounded. Output is verified PAIRS — quadratic in clone-group
+# size by contract, like dedup_minhash_lsh; clone-heavy corpora compose the
+# group-emitting form (dedup_components / dedup_minhash_groups pattern) on
+# top of the same banded candidates.
+
+_PH_W = _PH_H = 16  # 8×8 blocks of 2×2 px
+_PH_GROUPS = 200
+_PH_BANDS = 4  # 4 × 16-bit bands
+_PH_RADIUS = _PH_BANDS - 1  # banding is lossless exactly up to bands-1
+
+
+def _phash_bits(doc_id: int) -> list[int]:
+    """Closed-form 64-bit pattern a doc's image encodes (reference copy for
+    pytest + oracle derivation; the synth closure inlines the same formula
+    per the executor-import rule, and tests assert decode(synth(id)) equals
+    this). Bits 0/63 are pinned to 0/1 so the popcount stays in (0, 64) and
+    the aHash mean threshold always separates bright from background."""
+    g = doc_id % _PH_GROUPS
+    bits = []
+    for j in range(64):
+        if j == 0:
+            b = 0
+        elif j == 63:
+            b = 1
+        else:
+            b = ((g + 1) * ((j * j * 7919 + j * 104729 + 15485863) % 1000003)) % 1000003 % 2
+        bits.append(b)
+    if doc_id % 3 > 0:
+        bits[(doc_id * 7919) % 62 + 1] ^= 1
+    return bits
+
+
+def _make_phash_bmp_synth():
+    """Pandas UDF factory: doc_id → real 24bpp BMP (16×16, bottom-up rows)
+    rendering the doc's 64-bit pattern as 8×8 blocks of 2×2 px — bright
+    blocks at 255, background at (doc_id mod 23) so the background varies
+    per doc but always sits below the aHash mean. Self-contained closure
+    (executor import rule)."""
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    w = h = _PH_W
+    groups = _PH_GROUPS
+
+    def synth(doc_ids):
+        import struct as _struct
+
+        import pandas as _pd
+
+        row_bytes = (w * 3 + 3) // 4 * 4
+        img_size = row_bytes * h
+        off = 14 + 40
+
+        def one(doc_id):
+            g = doc_id % groups
+            bits = []
+            for j in range(64):
+                if j == 0:
+                    b = 0
+                elif j == 63:
+                    b = 1
+                else:
+                    b = ((g + 1) * ((j * j * 7919 + j * 104729 + 15485863) % 1000003)) % 1000003 % 2
+                bits.append(b)
+            if doc_id % 3 > 0:
+                bits[(doc_id * 7919) % 62 + 1] ^= 1
+            bg = doc_id % 23
+            header = b"BM" + _struct.pack("<IHHI", off + img_size, 0, 0, off)
+            info = _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+            )
+            out = [header, info]
+            for yy in range(h):  # bottom-up storage
+                y = h - 1 - yy
+                row = bytearray()
+                for x in range(w):
+                    lum = 255 if bits[(y // 2) * 8 + (x // 2)] else bg
+                    row += bytes((lum, lum, lum))
+                row += b"\x00" * (row_bytes - len(row))
+                out.append(bytes(row))
+            return b"".join(out)
+
+        return _pd.Series([one(int(d)) for d in doc_ids])
+
+    return _pudf(synth, "binary")
+
+
+_PH_SCHEMA = "doc_id LONG, h0 LONG, h1 LONG, h2 LONG, h3 LONG"
+
+
+def _make_phash_decoder():
+    """mapInPandas factory: REAL decode (BMP header parse, numpy pixel
+    slicing, bottom-up flip) → 2×2 block means → aHash bits (block mean >
+    image mean) → four 16-bit band values. The hash is stored banded
+    (h0..h3) instead of one 64-bit word: the bands ARE the LSH keys, and
+    small ints sidestep every cross-engine 2^63 sign/overflow trap."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def one(buf: bytes):
+            assert buf[:2] == b"BM", "not a BMP"
+            (off,) = _struct.unpack_from("<I", buf, 10)
+            hdr_sz, w, h, _planes, bpp = _struct.unpack_from("<IiiHH", buf, 14)
+            assert hdr_sz == 40 and bpp == 24, (hdr_sz, bpp)
+            bottom_up = h > 0
+            h = abs(h)
+            row_bytes = (w * 3 + 3) // 4 * 4
+            px = _np.frombuffer(buf, dtype=_np.uint8, count=row_bytes * h, offset=off)
+            px = px.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+            if bottom_up:
+                px = px[::-1]
+            lum = px[:, :, 0].astype(_np.int64)
+            # exact arithmetic: 2×2 block sums vs 4·(image sum)/256 — both
+            # integers (256 divides 4·sum scaling), so the threshold compare
+            # is integer-exact, no float mean involved
+            blocks = lum.reshape(8, 2, 8, 2).sum(axis=(1, 3))  # [by, bx]
+            bits = (blocks * 64 > lum.sum()).astype(_np.int64).reshape(64)
+            return [
+                int(sum(int(bits[16 * b + i]) << i for i in range(16)))
+                for b in range(4)
+            ]
+
+        for pdf in batches:
+            hs = [one(bytes(b)) for b in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "h0": [v[0] for v in hs],
+                    "h1": [v[1] for v in hs],
+                    "h2": [v[2] for v in hs],
+                    "h3": [v[3] for v in hs],
+                }
+            )
+
+    return decode
+
+
+def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h3): synthesize the per-doc BMP, decode it for real,
+    aHash it — one Arrow-batched map-only pass. localCheckpoint keeps the
+    four downstream references (two band-join sides, two verify joins) from
+    re-running the Python decode; the rows are 5 longs per image, so the
+    checkpoint is control-plane-sized at any corpus scale."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    payloads = docs.select(
+        "doc_id", _make_phash_bmp_synth()(F.col("doc_id")).alias("payload")
+    )
+    return payloads.mapInPandas(_make_phash_decoder(), schema=_PH_SCHEMA).localCheckpoint(
+        eager=False
+    )
+
+
+def _phash_band_keys(hashes: DataFrame) -> DataFrame:
+    """(doc_id, band_no, band_key) — the banded-hash LSH index rows."""
+    return hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"), F.col(f"h{b}").alias("band_key")
+                    )
+                    for b in range(_PH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_no", "bk.band_key")
+
+
+def _phash_hamming(a_prefix: str, b_prefix: str):
+    return sum(
+        F.bit_count(
+            F.col(f"{a_prefix}{b}").bitwiseXOR(F.col(f"{b_prefix}{b}"))
+        )
+        for b in range(_PH_BANDS)
+    )
+
+
+_PHASH_ORACLE = f"""
+WITH base AS (
+  SELECT d.doc_id, j.range AS j,
+         CASE WHEN j.range = 0 THEN 0
+              WHEN j.range = 63 THEN 1
+              ELSE ((((d.doc_id % {_PH_GROUPS}) + 1)
+                     * ((j.range*j.range*7919 + j.range*104729 + 15485863) % 1000003))
+                    % 1000003) % 2 END AS b
+  FROM documents d, range(0, 64) j
+), bits AS (
+  SELECT doc_id, j,
+         CASE WHEN doc_id % 3 > 0 AND j = (doc_id * 7919) % 62 + 1
+              THEN 1 - b ELSE b END AS bit
+  FROM base
+), h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN j // 16 = 0 THEN bit * (1::BIGINT << CAST(j % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS h0,
+         CAST(SUM(CASE WHEN j // 16 = 1 THEN bit * (1::BIGINT << CAST(j % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS h1,
+         CAST(SUM(CASE WHEN j // 16 = 2 THEN bit * (1::BIGINT << CAST(j % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS h2,
+         CAST(SUM(CASE WHEN j // 16 = 3 THEN bit * (1::BIGINT << CAST(j % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS h3
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+          + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS BIGINT) AS dist
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= {_PH_RADIUS}
+"""
+
+
+@register("mm_phash_dedup", oracle=_PHASH_ORACLE, tags=("multimodal", "dedup"))
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup: real BMP decode → 64-bit aHash →
+    Hamming-banded candidate blocking (4 equi-joins on 16-bit band values,
+    never all-pairs) → exact Hamming verify (bit_count(xor) over the four
+    bands) at radius 3, where banding is provably lossless (pigeonhole:
+    ≤ 3 differing bits leave ≥ 1 of 4 bands identical). The oracle
+    recomputes the hash from the closed-form pattern formula and
+    brute-forces all pairs — so the banded Spark plan must find EXACTLY
+    the brute-force pair set, and any decode/banding bug fails the hash.
+    Output: (doc_a, doc_b, dist) verified near-dup pairs."""
+    hashes = phash_hashes(spark, sf_dir)
+    bk = _phash_band_keys(hashes)
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_PH_BANDS)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_PH_BANDS)],
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("dist", _phash_hamming("a", "b").cast("long"))
+        .filter(F.col("dist") <= _PH_RADIUS)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+# --- Linear-output production twin: group assignment, not pairs ----------------
+#
+# mm_phash_dedup emits verified PAIRS — quadratic in clone-group size by
+# contract (a corpus where 2500 docs share a pattern emits ~3M pairs per
+# group). The production form a 100 TB dedup service runs is ASSIGNMENT:
+# one row per document naming its near-dup group representative. The r8
+# verbatim-collapse argument applies exactly: identical hash ⇒ identical
+# distances to everything, so collapse docs to DISTINCT-HASH classes
+# (class rep = min doc_id), run the banded pairing over class reps only
+# (bounded by hash diversity, not corpus size — clone mass multiplies
+# NEITHER join side), take each class's min neighbor rep, and broadcast
+# the class→group map back over the docs in one map-side join. Banding
+# has no frequency cap here, so the collapse is EXACT (the capped-graph
+# caveat from dedup_components does not apply).
+
+_PHASH_GROUPS_ORACLE = f"""
+WITH base AS (
+  SELECT d.doc_id, j.range AS j,
+         CASE WHEN j.range = 0 THEN 0
+              WHEN j.range = 63 THEN 1
+              ELSE ((((d.doc_id % {_PH_GROUPS}) + 1)
+                     * ((j.range*j.range*7919 + j.range*104729 + 15485863) % 1000003))
+                    % 1000003) % 2 END AS b
+  FROM documents d, range(0, 64) j
+), bits AS (
+  SELECT doc_id, j,
+         CASE WHEN doc_id % 3 > 0 AND j = (doc_id * 7919) % 62 + 1
+              THEN 1 - b ELSE b END AS bit
+  FROM base
+), h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN j // 16 = 0 THEN bit * (1::BIGINT << CAST(j % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS h0,
+         CAST(SUM(CASE WHEN j // 16 = 1 THEN bit * (1::BIGINT << CAST(j % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS h1,
+         CAST(SUM(CASE WHEN j // 16 = 2 THEN bit * (1::BIGINT << CAST(j % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS h2,
+         CAST(SUM(CASE WHEN j // 16 = 3 THEN bit * (1::BIGINT << CAST(j % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS h3
+  FROM bits GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(MIN(a.doc_id) AS BIGINT) AS group_rep
+FROM h a JOIN h b
+  ON bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+   + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= {_PH_RADIUS}
+GROUP BY b.doc_id
+"""
+
+
+@register(
+    "mm_phash_groups",
+    oracle=_PHASH_GROUPS_ORACLE,
+    tags=("multimodal", "dedup", "production"),
+)
+def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-output image near-dup ASSIGNMENT: every document gets the
+    lowest doc_id within Hamming radius 3 of its perceptual hash
+    (including itself) as its group representative — mm_phash_dedup's
+    production twin, the dedup_minhash_groups pattern applied to images.
+
+    Pipeline: decode→hash (one map pass) → collapse to distinct-hash
+    CLASSES (class rep = min doc_id; exact, since identical hashes have
+    identical distances) → banded candidate pairing over class reps only
+    (both orientations, so each class sees every neighbor) → exact
+    Hamming verify → per-class min neighbor rep → broadcast the
+    class→group map back onto docs. The pairing input is bounded by hash
+    DIVERSITY, not corpus size: clone-heavy corpora grow the class
+    member counts, never the join sides, and the output is exactly one
+    row per document at any scale.
+
+    The oracle brute-forces min-over-neighbors per doc; equivalence to
+    the class-level min holds because a class's doc set shares one hash,
+    so min over neighbor docs == min over neighbor classes' reps."""
+    hashes = phash_hashes(spark, sf_dir)
+    hcols = [f"h{b}" for b in range(_PH_BANDS)]
+    classes = (
+        hashes.groupBy(*hcols)
+        .agg(F.min("doc_id").alias("class_rep"))
+        .localCheckpoint(eager=False)
+    )
+    bk = _phash_band_keys(classes.withColumnRenamed("class_rep", "doc_id"))
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("rep_x"), F.col("b.doc_id").alias("rep_y"))
+        .distinct()
+    )
+    hx = classes.select(
+        F.col("class_rep").alias("rep_x"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_PH_BANDS)],
+    )
+    hy = classes.select(
+        F.col("class_rep").alias("rep_y"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_PH_BANDS)],
+    )
+    neighbor_min = (
+        cand.join(hx, "rep_x")
+        .join(hy, "rep_y")
+        .filter(_phash_hamming("a", "b") <= _PH_RADIUS)
+        .groupBy(F.col("rep_y").alias("class_rep"))
+        .agg(F.min("rep_x").alias("nbr_min"))
+    )
+    class_groups = classes.join(neighbor_min, "class_rep", "left").select(
+        *hcols,
+        F.least(
+            F.col("class_rep"), F.coalesce(F.col("nbr_min"), F.col("class_rep"))
+        ).alias("group_rep"),
+    )
+    return hashes.join(F.broadcast(class_groups), hcols).select(
+        "doc_id", "group_rep"
+    )

@@ -73,15 +73,20 @@ def _scratch_root() -> str:
     return root
 
 
-def _corpus_key(sf_dir: str) -> str:
-    """Stable key for a corpus LOCATION (survives regeneration, unlike the
-    content signature) — the grouping level at which stale signature dirs
-    are pruned, so pruning one corpus's orphans can never touch another
-    sf_dir's live index."""
-    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+def _corpus_key(sf_dir: str, table: str = "documents") -> str:
+    """Stable key for a corpus LOCATION + source table (survives
+    regeneration, unlike the content signature) — the grouping level at
+    which stale signature dirs are pruned. Keying on the table too means
+    indexes derived from DIFFERENT source tables of the same sf_dir (the
+    text/lsh twins over documents, the versioned fixture over orders)
+    live in sibling corpus dirs, so one table's rebuild-prune can never
+    reap another table's current index."""
+    return hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{table}".encode()
+    ).hexdigest()[:12]
 
 
-def _scratch_index_path(sf_dir: str, kind: str) -> str:
+def _scratch_index_path(sf_dir: str, kind: str, table: str = "documents") -> str:
     """Stable per-corpus scratch location for the REGISTERED from-index
     queries (a deployment passes its own table path; the registry
     callables take only ``(spark, sf_dir)``). Keyed by the documents
@@ -95,7 +100,7 @@ def _scratch_index_path(sf_dir: str, kind: str) -> str:
     to buy. Layout: <root>/<corpus-key>/<content-sig>/<kind>, so a
     rebuild after corpus regeneration can prune the orphaned old-sig
     sibling (``_prune_stale_sigs``) without a cross-corpus blast radius."""
-    root = os.path.join(sf_dir, "documents.parquet")
+    root = os.path.join(sf_dir, f"{table}.parquet")
     entries = []
     if os.path.isdir(root):
         for dirpath, _, files in os.walk(root):
@@ -110,15 +115,15 @@ def _scratch_index_path(sf_dir: str, kind: str) -> str:
         entries.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
     parts = [f"{rel}:{size}:{mtime}" for rel, size, mtime in sorted(entries)]
     sig = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    return os.path.join(_scratch_root(), _corpus_key(sf_dir), sig, kind)
+    return os.path.join(_scratch_root(), _corpus_key(sf_dir, table), sig, kind)
 
 
 @contextlib.contextmanager
-def _scratch_lock(sf_dir: str):
+def _scratch_lock(sf_dir: str, table: str = "documents"):
     """Serialize scratch-index rebuilds for one corpus across processes
     (two sessions racing an overwrite-rebuild would otherwise interleave
     ``mode('overwrite')`` writes). Yields the corpus directory."""
-    cdir = os.path.join(_scratch_root(), _corpus_key(sf_dir))
+    cdir = os.path.join(_scratch_root(), _corpus_key(sf_dir, table))
     os.makedirs(cdir, mode=0o700, exist_ok=True)
     with open(os.path.join(cdir, ".lock"), "w") as fh:
         fcntl.flock(fh, fcntl.LOCK_EX)

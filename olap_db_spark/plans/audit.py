@@ -58,6 +58,10 @@ _FLAGSHIP_CHECKS = {
     # the neighbor!=query condition is non-equi → broadcast nested loop
     # over the (tiny) query side; the vector table still never shuffles
     "sim_knn_bruteforce": [("broadcast queries", "BroadcastNestedLoopJoin")],
+    # round-12: candidates must come from the banded equi-join, never an
+    # all-pairs nested-loop over the hash table
+    "mm_phash_dedup": [("no all-pairs nested loop", "!BroadcastNestedLoopJoin")],
+    "mm_phash_groups": [("no all-pairs nested loop", "!BroadcastNestedLoopJoin")],
     # round-2 operators' plan promises
     "q6_forecast_revenue": [
         ("filter pushdown", "PushedFilters: ["),

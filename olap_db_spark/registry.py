@@ -76,6 +76,13 @@ _PRIORITY: tuple[str, ...] = (
     # r9 rows; 17 r9 rows defer to round 13 (listed at the bottom — they
     # MUST lead the next rotation).
     #
+    # Tier 0 — NEW in round 12, never driver-checked: perceptual-hash
+    # image near-dup + its linear-output assignment twin (r11 VERDICT #5)
+    # and read-side time travel under an oracle row (r11 VERDICT stretch
+    # c). Each displaces one trailing tier-2 row past slot 50.
+    "mm_phash_dedup",
+    "mm_phash_groups",
+    "meta_read_version_asof",
     # Tier 1 — the 17 rows whose latest green is round 8 (the rotation
     # tripwire's must-have set, named verbatim in the r11 VERDICT).
     "agg_basic_stats",
@@ -100,9 +107,10 @@ _PRIORITY: tuple[str, ...] = (
     # fixpoint, Python-worker multimodal/pipeline rows, pagination
     # keyset/top-k plans, banded dedup and sampled IVF/PQ evals — the
     # shapes most sensitive to plan changes and arrow/HUGEINT driver
-    # drift). The LAST TWO names sit at slots 51-52 once round-12's
-    # tier-0 registrations land, deferring to round 13 by design
-    # (both carry 5σ statistical-contract pytest coverage).
+    # drift). The LAST THREE names sit at slots 51-53 once round-12's
+    # three tier-0 registrations land, deferring to round 13 by design
+    # (statistical-contract / layout shapes with dedicated pytest
+    # coverage).
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q4_priority_exists",

@@ -90,7 +90,9 @@ def main() -> None:
         return vals
 
     factors, peaks = {}, {}
-    for kind in ("jvm", "python"):
+    # python_mem (r12) only computes a factor once both sides carry it —
+    # baselines predating the memory-bandwidth probe simply skip the kind
+    for kind in ("jvm", "python", "python_mem"):
         bs, fs = _samples(base_full, kind), _samples(fresh_full, kind)
         if bs and fs:
             b = statistics.median(bs)

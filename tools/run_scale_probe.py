@@ -69,8 +69,12 @@ def _sampled_fn(base: str, mod: int):
     raise SystemExit(f"no probe-scale variant for {base!r}")
 
 
-def _run_one(sf_dir: str, name: str) -> None:
-    """Worker mode: time one query on a fresh session, print one line."""
+def _run_one(sf_dir: str, name: str, twice: bool = False) -> None:
+    """Worker mode: time one query on a fresh session, print one line.
+    ``twice`` re-times the query in the same session after the cold run
+    (``##WARM`` line) — for index-backed queries the second call hits the
+    freshness gate and serves from the standing index, so cold vs warm IS
+    the amortization the index buys (r11 VERDICT #3)."""
     from pyspark.sql import SparkSession
 
     from olap_db_spark.registry import query_fns
@@ -96,6 +100,10 @@ def _run_one(sf_dir: str, name: str) -> None:
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     print(f"##RESULT {name.split('@')[0]} {time.time() - t0:.3f}", flush=True)
+    if twice:
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        print(f"##WARM {name.split('@')[0]} {time.time() - t0:.3f}", flush=True)
 
 
 def main() -> None:
@@ -103,13 +111,27 @@ def main() -> None:
 
     args = sys.argv[1:]
     if args and args[0] == "--worker":
-        _run_one(args[1], args[2])
+        twice = "--twice" in args
+        _run_one(args[1], args[2], twice=twice)
         return
     sf_dir, out_path, sf_label = args[0], args[1], float(args[2])
     args = args[3:]
     note = ""
-    if args and args[0] == "--note":
-        note, args = args[1], args[2:]
+    append = False
+    warm_names: set[str] = set()
+    # flags accept any order ahead of the name list
+    while args and args[0].startswith("--"):
+        if args[0] == "--note":
+            note, args = args[1], args[2:]
+        elif args[0] == "--append":
+            # merge new rows into the existing artifact instead of
+            # replacing it — late additions (r11 VERDICT #3) re-probe only
+            # themselves, never forcing a re-run of settled rows
+            append, args = True, args[1:]
+        elif args[0] == "--warm":
+            warm_names, args = set(args[1].split(",")), args[2:]
+        else:
+            raise SystemExit(f"unknown flag {args[0]!r}")
     names = args
     if not names:
         raise SystemExit("no query names given")
@@ -125,12 +147,12 @@ def main() -> None:
         )
 
     timings: dict[str, float] = {}
+    warms: dict[str, float] = {}
     for name in names:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--worker", sf_dir, name],
-            capture_output=True,
-            text=True,
-        )
+        cmd = [sys.executable, __file__, "--worker", sf_dir, name]
+        if name.split("@")[0] in warm_names:
+            cmd.append("--twice")
+        proc = subprocess.run(cmd, capture_output=True, text=True)
         line = next(
             (l for l in proc.stdout.splitlines() if l.startswith("##RESULT ")),
             None,
@@ -141,15 +163,34 @@ def main() -> None:
             raise SystemExit(f"probe row {name} failed (rc={proc.returncode})")
         _, bare, sec = line.split()
         timings[bare] = round(float(sec), 3)
-        print(f"{bare}: {timings[bare]:.1f} s", flush=True)
+        wline = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("##WARM ")),
+            None,
+        )
+        if wline is not None:
+            warms[bare] = round(float(wline.split()[2]), 3)
+        warm_note = f" (warm {warms[bare]:.1f} s)" if bare in warms else ""
+        print(f"{bare}: {timings[bare]:.1f} s{warm_note}", flush=True)
 
-    artifact = {
-        "sf": sf_label,
-        "n_runs": 1,
-        "total_sec": round(sum(timings.values()), 1),
-        "note": note,
-        "queries": timings,
-    }
+    if append:
+        artifact = json.loads(Path(out_path).read_text())
+        artifact["queries"].update(timings)
+        artifact["warm"] = {**artifact.get("warm", {}), **warms}
+        artifact["total_sec"] = round(sum(artifact["queries"].values()), 1)
+        if note:
+            artifact["note"] = (artifact.get("note", "") + " " + note).strip()
+    else:
+        artifact = {
+            "sf": sf_label,
+            "n_runs": 1,
+            "total_sec": round(sum(timings.values()), 1),
+            "note": note,
+            "queries": timings,
+        }
+        if warms:
+            artifact["warm"] = warms
+    if not artifact.get("warm"):
+        artifact.pop("warm", None)
     Path(out_path).write_text(json.dumps(artifact, indent=1) + "\n")
     print(f"wrote {out_path}: total {artifact['total_sec']} s")
 
