@@ -105,6 +105,10 @@ _SF1_END = "<!-- /sf1:auto -->"
 _SF1_WORST_NOTE = {
     "text_pii_redact": " — map-only regex: pure linear work, amortized overhead gone",
     "text_repetition_stats": " — map-only array lambdas: pure linear work",
+    "agg_weighted_avg_pandas": (
+        " — Python-worker row: linear pandas-UDF work plus an ambient"
+        " wave the in-artifact python_mem canary documents"
+    ),
 }
 
 
