@@ -1091,3 +1091,182 @@ def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashes.join(F.broadcast(class_groups), hcols).select(
         "doc_id", "group_rep"
     )
+
+
+# --- Persisted phash index + batch assignment (index lifecycle) ----------------
+#
+# Completes the image-dedup lifecycle the text family already has
+# (text_index.refresh_lsh_index / dedup_assign_from_index): the distinct-
+# hash CLASS table is the standing index a 100 TB image-dedup service
+# maintains on the ingest cadence, and an arriving batch decodes ONLY
+# itself and band-joins against the table — the corpus is never re-decoded
+# at assignment time. Same scratch-path freshness/locking/pruning contract
+# as the text twins.
+
+
+def _phash_hashes_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h3) for any frame carrying ``doc_id``: spread the
+    Python stage (pinned partition count — AQE REPARTITION_BY_COL
+    coalescing hazard, see mm_audio_rms_windows), synthesize the BMP,
+    decode + aHash it. One Arrow-batched map-only pass."""
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    payloads = spread.select(
+        "doc_id", _make_phash_bmp_synth()(F.col("doc_id")).alias("payload")
+    )
+    return payloads.mapInPandas(_make_phash_decoder(), schema=_PH_SCHEMA)
+
+
+def refresh_phash_index(
+    spark: SparkSession, docs: DataFrame, index_path: str, force: bool = False
+) -> bool:
+    """Build or refresh the persisted phash-class index for ``docs`` (any
+    (doc_id, ...) frame): one decode pass collapsed to DISTINCT-HASH
+    classes (h0..h3, class_rep = min doc_id) — O(hash diversity) rows at
+    any corpus size. Freshness-gated on the recorded doc count (the cheap
+    column-pruned probe; the decode never runs when current). Returns
+    True when a rebuild ran."""
+    from .text_index import _p
+
+    n_docs = docs.count()
+    if not force:
+        try:
+            rec = (
+                spark.read.parquet(_p(index_path, "meta"))
+                .select("n_docs")
+                .collect()
+            )
+            if rec and rec[0][0] == n_docs:
+                return False
+        except Exception:  # noqa: BLE001 — first build: no index yet
+            pass
+    hcols = [f"h{b}" for b in range(_PH_BANDS)]
+    (
+        _phash_hashes_of(docs.select("doc_id"))
+        .groupBy(*hcols)
+        .agg(F.min("doc_id").alias("class_rep"))
+        .write.mode("overwrite")
+        .parquet(_p(index_path, "classes"))
+    )
+    spark.createDataFrame([(n_docs,)], "n_docs long").write.mode(
+        "overwrite"
+    ).parquet(_p(index_path, "meta"))
+    return True
+
+
+def assign_from_phash_index(
+    spark: SparkSession, index_path: str, new_docs: DataFrame
+) -> DataFrame:
+    """Assign a batch of images to near-dup groups against the PERSISTED
+    class index: decode the batch only, band-join its hashes against the
+    class table's band keys, exact-Hamming verify, and emit one row per
+    batch doc — (doc_id, group_rep) where group_rep is the lowest doc_id
+    among itself and all indexed docs within radius (min over neighbor
+    CLASS REPS equals min over neighbor docs, since a class's docs share
+    one hash). Per-batch cost is O(batch + collisions)."""
+    from .text_index import _p
+
+    classes = spark.read.parquet(_p(index_path, "classes"))
+    nh = _phash_hashes_of(new_docs).localCheckpoint(eager=False)
+    bkn = _phash_band_keys(nh)
+    bkb = _phash_band_keys(classes.withColumnRenamed("class_rep", "doc_id"))
+    cand = (
+        bkn.alias("n")
+        .join(
+            bkb.alias("b"),
+            (F.col("n.band_no") == F.col("b.band_no"))
+            & (F.col("n.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("n.doc_id").alias("doc_id"), F.col("b.doc_id").alias("rep"))
+        .distinct()
+    )
+    hn = nh.select(
+        "doc_id", *[F.col(f"h{i}").alias(f"a{i}") for i in range(_PH_BANDS)]
+    )
+    hb = classes.select(
+        F.col("class_rep").alias("rep"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_PH_BANDS)],
+    )
+    nbr = (
+        cand.join(hn, "doc_id")
+        .join(hb, "rep")
+        .filter(_phash_hamming("a", "b") <= _PH_RADIUS)
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("nbr_min"))
+    )
+    return (
+        nh.select("doc_id")
+        .join(nbr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.least(
+                F.col("doc_id"), F.coalesce(F.col("nbr_min"), F.col("doc_id"))
+            ).alias("group_rep"),
+        )
+    )
+
+
+def _phash_assign_oracle() -> str:
+    from .fuzzy_dedup import _sql_inc_coin
+
+    return f"""
+WITH base AS (
+  SELECT d.doc_id, j.range AS j,
+         CASE WHEN j.range = 0 THEN 0
+              WHEN j.range = 63 THEN 1
+              ELSE ((((d.doc_id % {_PH_GROUPS}) + 1)
+                     * ((j.range*j.range*7919 + j.range*104729 + 15485863) % 1000003))
+                    % 1000003) % 2 END AS b
+  FROM documents d, range(0, 64) j
+), bits AS (
+  SELECT doc_id, j,
+         CASE WHEN doc_id % 3 > 0 AND j = (doc_id * 7919) % 62 + 1
+              THEN 1 - b ELSE b END AS bit
+  FROM base
+), h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN j // 16 = 0 THEN bit * (1::BIGINT << CAST(j % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS h0,
+         CAST(SUM(CASE WHEN j // 16 = 1 THEN bit * (1::BIGINT << CAST(j % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS h1,
+         CAST(SUM(CASE WHEN j // 16 = 2 THEN bit * (1::BIGINT << CAST(j % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS h2,
+         CAST(SUM(CASE WHEN j // 16 = 3 THEN bit * (1::BIGINT << CAST(j % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS h3
+  FROM bits GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(LEAST(n.doc_id, COALESCE(MIN(b.doc_id), n.doc_id)) AS BIGINT) AS group_rep
+FROM h n LEFT JOIN h b
+  ON bit_count(xor(n.h0, b.h0)) + bit_count(xor(n.h1, b.h1))
+   + bit_count(xor(n.h2, b.h2)) + bit_count(xor(n.h3, b.h3)) <= {_PH_RADIUS}
+ AND NOT ({_sql_inc_coin('b.doc_id')})
+WHERE {_sql_inc_coin('n.doc_id')}
+GROUP BY n.doc_id
+"""
+
+
+@register(
+    "mm_phash_assign_from_index",
+    oracle=_phash_assign_oracle(),
+    tags=("multimodal", "dedup", "index", "maintenance"),
+)
+def mm_phash_assign_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image dedup served from the PERSISTED phash-class
+    index — the image analog of ``dedup_assign_from_index`` (same
+    content-addressed base/batch coin, same scratch freshness/lock/prune
+    contract). The base corpus decodes ONCE into the standing class table
+    (freshness-gated on repeat calls); the arriving batch decodes only
+    itself and band-joins the table, so per-batch cost is
+    O(batch + collisions) with the corpus never re-decoded — the exact
+    shape a continuous-ingest image-dedup service runs at 100 TB."""
+    import os as _os
+
+    from .fuzzy_dedup import _inc_coin
+    from .text_index import _prune_stale_sigs, _scratch_index_path, _scratch_lock
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    idx = _scratch_index_path(sf_dir, "phash")
+    with _scratch_lock(sf_dir) as cdir:
+        if refresh_phash_index(spark, docs.filter(~_inc_coin(F.col("doc_id"))), idx):
+            _prune_stale_sigs(cdir, _os.path.basename(_os.path.dirname(idx)))
+    return assign_from_phash_index(
+        spark, idx, docs.filter(_inc_coin(F.col("doc_id")))
+    )

@@ -62,6 +62,9 @@ _FLAGSHIP_CHECKS = {
     # all-pairs nested-loop over the hash table
     "mm_phash_dedup": [("no all-pairs nested loop", "!BroadcastNestedLoopJoin")],
     "mm_phash_groups": [("no all-pairs nested loop", "!BroadcastNestedLoopJoin")],
+    "mm_phash_assign_from_index": [
+        ("no all-pairs nested loop", "!BroadcastNestedLoopJoin")
+    ],
     # round-2 operators' plan promises
     "q6_forecast_revenue": [
         ("filter pushdown", "PushedFilters: ["),

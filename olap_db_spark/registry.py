@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     # c). Each displaces one trailing tier-2 row past slot 50.
     "mm_phash_dedup",
     "mm_phash_groups",
+    "mm_phash_assign_from_index",
     "meta_read_version_asof",
     # Tier 1 — the 17 rows whose latest green is round 8 (the rotation
     # tripwire's must-have set, named verbatim in the r11 VERDICT).
@@ -107,8 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     # fixpoint, Python-worker multimodal/pipeline rows, pagination
     # keyset/top-k plans, banded dedup and sampled IVF/PQ evals — the
     # shapes most sensitive to plan changes and arrow/HUGEINT driver
-    # drift). The LAST THREE names sit at slots 51-53 once round-12's
-    # three tier-0 registrations land, deferring to round 13 by design
+    # drift). The LAST FOUR names sit at slots 51-54 once round-12's
+    # four tier-0 registrations land, deferring to round 13 by design
     # (statistical-contract / layout shapes with dedicated pytest
     # coverage).
     "q1_pricing_summary",

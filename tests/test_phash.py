@@ -13,6 +13,7 @@ distances), and the hash-identity check closes it."""
 from __future__ import annotations
 
 import itertools
+import os
 
 from olap_db_spark.operators.multimodal_ops import (
     _PH_BANDS,
@@ -123,3 +124,57 @@ def test_groups_twin_matches_bruteforce_and_is_clone_invariant(spark):
     # radius: rep is the min of ITS neighborhood too whenever it heads one)
     reps = set(got.values())
     assert all(got[r] <= r for r in reps)
+
+
+def test_assign_from_index_matches_bruteforce_and_gates(spark):
+    """The persisted-index assignment equals the brute-force min over
+    (self + base docs within radius); the second call serves from the
+    standing class table (freshness gate: classes file untouched)."""
+    import glob
+
+    from olap_db_spark.operators.fuzzy_dedup import _inc_coin
+    from olap_db_spark.operators.multimodal_ops import (
+        mm_phash_assign_from_index,
+    )
+    from olap_db_spark.operators.text_index import _scratch_index_path
+    from pyspark.sql import functions as F
+
+    hashes = _collect_hashes(spark)
+    from olap_db_spark.catalog import load
+
+    docs = load(spark, SF, "documents").select("doc_id")
+    new_ids = {
+        int(r["doc_id"]) for r in docs.filter(_inc_coin(F.col("doc_id"))).collect()
+    }
+    base_ids = set(hashes) - new_ids
+
+    want = {
+        d: min(
+            [d]
+            + [b for b in base_ids if _ham(hashes[d], hashes[b]) <= _PH_RADIUS]
+        )
+        for d in new_ids
+    }
+    got = {
+        int(r["doc_id"]): int(r["group_rep"])
+        for r in mm_phash_assign_from_index(spark, SF).collect()
+    }
+    assert got == want and got
+
+    # warm path leaves the standing classes table byte-untouched
+    idx = _scratch_index_path(SF, "phash")
+    state = {
+        f: (os.stat(f).st_mtime, os.stat(f).st_size)
+        for f in glob.glob(os.path.join(idx, "classes", "*.parquet"))
+    }
+    assert state
+    got2 = {
+        int(r["doc_id"]): int(r["group_rep"])
+        for r in mm_phash_assign_from_index(spark, SF).collect()
+    }
+    assert got2 == want
+    state2 = {
+        f: (os.stat(f).st_mtime, os.stat(f).st_size)
+        for f in glob.glob(os.path.join(idx, "classes", "*.parquet"))
+    }
+    assert state2 == state
