@@ -194,30 +194,37 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         _md5_coin("dsir", F.col("gram"), _DSIR_BUCKETS).alias("b"),
     )
 
-    # two map-side-combined hash aggs into O(buckets) state; the gram
-    # TOTALS come from the ≤1024-row bucket tables (sum of counts), NOT
-    # from separate gb/target.agg() branches — those would replan the
-    # whole corpus-wide gram explode twice more just to produce two
-    # integers (each .agg() on an intermediate frame re-derives its
-    # pipeline from the scan up; see dedup_lsh_eval's 24-scan lesson)
-    rc = gb.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
-    target = gb.filter(F.col("source") == _DSIR_TARGET_SOURCE)
-    tc = target.groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
+    # ONE map-side-combined hash agg into O(buckets) state: the raw count
+    # AND the target-domain count fold out of the same pass as
+    # count(CASE WHEN source = target) — the previous shape ran two
+    # separate bucket aggregates (rc, tc) then LEFT-joined them, which
+    # re-derived the whole corpus-wide gram explode TWICE in the plan
+    # (r12 optimization, guide §2.4: two aggregations keyed the same way
+    # share one exchange — here they share the whole pipeline). The gram
+    # TOTALS still come from the ≤1024-row bucket table (sum of counts),
+    # NOT from separate gb.agg() branches — those would replan the explode
+    # yet again for two integers (the dedup_lsh_eval 24-scan lesson).
+    bc = gb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.count(
+            F.when(F.col("source") == _DSIR_TARGET_SOURCE, F.lit(1))
+        ).alias("c_t"),
+    )
     # coalesce is load-bearing: SUM over an EMPTY bucket table is NULL
     # where the old count() branch gave 0 — a corpus with no target-domain
     # docs must yield n_t = 0, not NULL-poisoned weights (caught by the
     # adversarial parity fuzzer, whose corpora have no src0)
-    rt = rc.agg(F.coalesce(F.sum("c_r"), F.lit(0)).alias("n_r"))
-    tt = tc.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+    totals = bc.agg(
+        F.coalesce(F.sum("c_r"), F.lit(0)).alias("n_r"),
+        F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"),
+    )
 
     ratio = (
         (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1.0))
         * (F.col("n_r") + F.lit(_DSIR_BUCKETS))
     ) / ((F.col("c_r") + F.lit(1.0)) * (F.col("n_t") + F.lit(_DSIR_BUCKETS)))
     w = (
-        rc.join(tc, "b", "left")
-        .crossJoin(F.broadcast(rt))
-        .crossJoin(F.broadcast(tt))
+        bc.crossJoin(F.broadcast(totals))
         .select(
             "b",
             F.floor(F.lit(float(_W_SCALE)) * F.log(ratio))

@@ -170,6 +170,11 @@ def kmeans_fit_assign(
         vecs = load(spark, sf_dir, "embeddings").select(
             "vec_id", quantize(F.col("embedding")).alias("qv")
         )
+    # Cut lineage FIRST, so the auto-k count and the seed top-k already
+    # read the materialized table instead of re-deriving quantize from the
+    # source (one fewer full source pass each); the update passes + the
+    # final assignment then all rescan this one checkpoint.
+    vecs = vecs.localCheckpoint()
     if k == "auto":
         n_vecs = vecs.count()
         k = max(_K, -(-n_vecs // _TARGET_BLOCK))  # ceil division
@@ -189,45 +194,53 @@ def kmeans_fit_assign(
         .collect()
     )
     centroids = [r["qv"] for r in sorted(seed_rows, key=lambda r: r["vec_id"])]
+    dim = len(centroids[0])
 
-    vecs = vecs.localCheckpoint()  # cut lineage once; scanned every iter
-    assigned = None
-    for _ in range(iters):
-        prev = assigned
-        # persist + materialize the assignment: two aggregate branches +
-        # the final consumer would otherwise re-run the Arrow assignment
-        # UDF 3x. persist() (not localCheckpoint) so the PREVIOUS
-        # iteration's copy can actually be freed — unpersist() is a no-op
-        # on checkpoint-backed frames (measured: storage grew per iter).
-        assigned = vecs.withColumn(
-            "cluster", _assign_udf(centroids)(F.col("qv"))
-        ).persist()
-        assigned.count()  # materialize before dropping the previous copy
-        if prev is not None:
-            prev.unpersist()
-        # update: per-cluster integer sums + counts (k×dim ints to driver)
-        pos = assigned.select("cluster", F.posexplode("qv").alias("d", "v"))
-        sums = (
-            pos.groupBy("cluster", "d")
-            .agg(F.sum("v").alias("sv"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("d", "sv"))).alias("ds"))
-            .select("cluster", F.transform("ds", lambda s: s["sv"]).alias("sums"))
+    # Iteration i assigns with cent_{i-1} and derives cent_i; the returned
+    # assignment is made with cent_{iters-1} — so only iters-1 UPDATE
+    # passes are needed (the old loop also computed a cent_{iters} that
+    # nothing ever read: one full assignment+aggregate pass of pure waste,
+    # and its own oracle documents "the last update is discarded").
+    #
+    # Each update is ONE fused job: the Arrow assignment UDF feeds
+    # posexplode → a single map-side-combinable (cluster, d) hash
+    # aggregate whose k×dim (sum, count) rows collect straight to the
+    # driver. The previous shape ran 2 actions per iteration (persist +
+    # count to materialize the assignment, then a 3-shuffle
+    # sums-join-counts collect). A wide single-aggregate variant (count +
+    # 64 sum(qv[d]) COLUMNS) was also measured: 1.91 vs 1.37 s per fit —
+    # the 65-buffer aggregate's codegen cost recurs per run and loses to
+    # the explode + narrow aggregate, whose exchange carries only k×dim
+    # pre-combined rows (guide §1.1: the "ideal" plan lost to the
+    # measured one).
+    for _ in range(iters - 1):
+        rows = (
+            vecs.withColumn("cluster", _assign_udf(centroids)(F.col("qv")))
+            .select("cluster", F.posexplode("qv").alias("d", "v"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
-        stats = {
-            r["cluster"]: (r["sums"], r["n"])
-            for r in sums.join(counts, "cluster").collect()
-        }
-        new_centroids = []
-        for c in range(len(centroids)):
-            if c in stats:
-                s, n = stats[c]
-                new_centroids.append([x // n for x in s])  # integer mean
-            else:  # empty cluster: keep previous centroid
-                new_centroids.append(centroids[c])
+        per_cluster: dict[int, list] = {}
+        for r in rows:
+            per_cluster.setdefault(r["cluster"], [None] * dim)
+            per_cluster[r["cluster"]][r["d"]] = (r["sv"], r["n"])
+        new_centroids = list(centroids)  # empty clusters keep previous
+        for c, comps in per_cluster.items():
+            new_centroids[c] = [sv // n for (sv, n) in comps]  # integer mean
         centroids = new_centroids
-    return assigned.select("vec_id", "cluster")
+    # Final assignment with cent_{iters-1}; persisted and materialized
+    # EAGERLY. A lazy persist measured SLOWER in the IVF consumers
+    # (sim_ivf_search 3.7 vs 3.2 s interleaved A/B at sf0.1): their plans
+    # reference the assignment from several broadcast subtrees whose jobs
+    # launch concurrently, and the concurrent first readers race to
+    # populate the unmaterialized cache — re-running the Arrow assignment
+    # pass. One tiny count() up front keeps every consumer a cache read.
+    final = vecs.withColumn(
+        "cluster", _assign_udf(centroids)(F.col("qv"))
+    ).select("vec_id", "cluster").persist()
+    final.count()
+    return final
 
 
 _IVF_KMEANS_ORACLE = f"""

@@ -202,6 +202,90 @@ def _make_bmp_decoder():
     return decode
 
 
+def _make_bmp_pipeline():
+    """FUSED synth→decode mapInPandas factory (r12 optimization): one
+    Python stage builds each doc's genuine 24bpp BMP bytes (numpy gradient
+    + struct headers — byte-identical to ``_make_bmp_synth``, asserted in
+    pytest) and decodes them through the same real header-parse +
+    pixel-slice path as ``_make_bmp_decoder``.
+
+    Why fused (guide §4.1/§2.3): the two-stage form shipped every ~700 B
+    BMP JVM→Python→JVM→Python — three Arrow serializations of a purely
+    intermediate payload — and synthesized pixels with a per-PIXEL Python
+    loop (216 iterations/doc). Fused: payload never crosses the boundary,
+    pixels synthesize as one vectorized numpy expression per doc.
+    Self-contained closure (executor import rule)."""
+
+    w, h = _BMP_W, _BMP_H
+
+    def run(batches):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        row_bytes = (w * 3 + 3) // 4 * 4
+        img_size = row_bytes * h
+        off = 14 + 40
+        header = b"BM" + _struct.pack("<IHHI", off + img_size, 0, 0, off)
+        info = _struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+        )
+        xg = _np.arange(w)
+        yg = _np.arange(h)
+
+        def synth_one(doc_id):
+            lum = ((doc_id * 31 + 7 * xg[None, :] + 13 * yg[:, None]) % 256).astype(
+                _np.uint8
+            )
+            rows = _np.zeros((h, row_bytes), _np.uint8)
+            rows[:, : w * 3] = _np.repeat(lum[:, :, None], 3, axis=2).reshape(
+                h, w * 3
+            )
+            return header + info + rows[::-1].tobytes()  # bottom-up storage
+
+        def decode_one(buf):
+            assert buf[:2] == b"BM", "not a BMP"
+            (poff,) = _struct.unpack_from("<I", buf, 10)
+            hdr_sz, pw, ph, _planes, bpp = _struct.unpack_from("<IiiHH", buf, 14)
+            assert hdr_sz == 40 and bpp == 24, (hdr_sz, bpp)
+            bottom_up = ph > 0
+            ph = abs(ph)
+            prow_bytes = (pw * 3 + 3) // 4 * 4
+            px = _np.frombuffer(
+                buf, dtype=_np.uint8, count=prow_bytes * ph, offset=poff
+            )
+            px = px.reshape(ph, prow_bytes)[:, : pw * 3].reshape(ph, pw, 3)
+            if bottom_up:
+                px = px[::-1]
+            lum = px[:, :, 0].astype(_np.int64)  # grayscale: B==G==R
+            tl = lum[: ph // 2, : pw // 2]
+            return (
+                pw,
+                ph,
+                float(int(lum.sum())) / (pw * ph),
+                int(lum.min()),
+                int(lum.max()),
+                float(int(tl.sum())) / tl.size,
+            )
+
+        for pdf in batches:
+            stats = [decode_one(synth_one(int(d))) for d in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": [s[0] for s in stats],
+                    "height": [s[1] for s in stats],
+                    "lum_mean": [s[2] for s in stats],
+                    "lum_min": [s[3] for s in stats],
+                    "lum_max": [s[4] for s in stats],
+                    "tl_mean": [s[5] for s in stats],
+                }
+            )
+
+    return run
+
+
 # The oracle never sees the BMP bytes: it recomputes the same stats from
 # the pixel FORMULA over (x, y) ranges. A decoder bug (padding, row order,
 # channel offset, header math) breaks the hash — the decode itself is
@@ -234,13 +318,14 @@ def mm_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     luminance stats. Oracle-checked against the closed-form pixel formula,
     so a decoder bug (padding, row order, header offsets) fails the hash.
 
-    Scale shape: both synth and decode are Arrow-batched map-only passes —
-    constant memory per task, no shuffle until the final (tiny) stats."""
+    Scale shape: synth+decode is ONE Arrow-batched map-only pass (r12:
+    fused — the intermediate BMP payload never crosses the JVM boundary;
+    fused == two-stage asserted in pytest), constant memory per task, no
+    shuffle until the final (tiny) stats."""
     docs = load(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id", _make_bmp_synth()(F.col("doc_id")).alias("payload")
+    return docs.select("doc_id").mapInPandas(
+        _make_bmp_pipeline(), schema=_BMP_STATS_SCHEMA
     )
-    return payloads.mapInPandas(_make_bmp_decoder(), schema=_BMP_STATS_SCHEMA)
 
 
 # --- REAL decode → resize → aggregate (variable-dimension BMPs) ---------------
@@ -358,6 +443,86 @@ def _make_bmp_resize_decoder():
     return decode
 
 
+def _make_bmp_resize_pipeline():
+    """FUSED synth→decode→resize mapInPandas factory (r12 optimization):
+    one Python stage builds each doc's variable-dimension BMP bytes
+    (identical to ``_make_bmp_synth_vardim`` — asserted in pytest) and
+    decodes+resizes them through the same real path as
+    ``_make_bmp_resize_decoder``. The intermediate payload (~1-7 KB/doc)
+    never crosses the JVM boundary; the plan loses its
+    ArrowEvalPython(synth) node (guide §4.1/§2.3).
+    Self-contained closure (executor import rule)."""
+
+    def run(batches):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def synth_one(doc_id):
+            w = 8 + 2 * ((doc_id * 7) % 24)
+            h = 6 + 2 * ((doc_id * 11) % 20)
+            row_bytes = (w * 3 + 3) // 4 * 4
+            off = 14 + 40
+            x = _np.arange(w)
+            y = _np.arange(h)
+            lum = ((doc_id * 31 + 7 * x[None, :] + 13 * y[:, None]) % 256).astype(
+                _np.uint8
+            )
+            rows = _np.zeros((h, row_bytes), _np.uint8)
+            rows[:, : w * 3] = _np.repeat(lum[:, :, None], 3, axis=2).reshape(
+                h, w * 3
+            )
+            header = b"BM" + _struct.pack(
+                "<IHHI", off + row_bytes * h, 0, 0, off
+            )
+            info = _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h, 2835, 2835, 0, 0
+            )
+            return header + info + rows[::-1].tobytes()  # bottom-up storage
+
+        def decode_one(buf):
+            assert buf[:2] == b"BM", "not a BMP"
+            (off,) = _struct.unpack_from("<I", buf, 10)
+            hdr_sz, w, h, _planes, bpp = _struct.unpack_from("<IiiHH", buf, 14)
+            assert hdr_sz == 40 and bpp == 24, (hdr_sz, bpp)
+            bottom_up = h > 0
+            h = abs(h)
+            row_bytes = (w * 3 + 3) // 4 * 4
+            px = _np.frombuffer(buf, dtype=_np.uint8, count=row_bytes * h, offset=off)
+            px = px.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+            if bottom_up:
+                px = px[::-1]
+            lum = px[:, :, 0].astype(_np.int64)  # grayscale: B==G==R
+            blocks = lum.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+            return (
+                w,
+                h,
+                w // 2,
+                h // 2,
+                int(lum.sum()),
+                int(blocks.min()),
+                int(blocks.max()),
+            )
+
+        for pdf in batches:
+            stats = [decode_one(synth_one(int(d))) for d in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": [s[0] for s in stats],
+                    "height": [s[1] for s in stats],
+                    "thumb_w": [s[2] for s in stats],
+                    "thumb_h": [s[3] for s in stats],
+                    "lum_sum": [s[4] for s in stats],
+                    "tmin": [s[5] for s in stats],
+                    "tmax": [s[6] for s in stats],
+                }
+            )
+
+    return run
+
+
 # The oracle recomputes decode AND resize from the closed-form pixel
 # formula — per-doc dims, 2×2 block sums, class rollup. A bug anywhere in
 # the real path (header math, padding for the widths where w*3 % 4 != 0,
@@ -415,10 +580,12 @@ def mm_decode_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (constant memory per task, zero shuffles); the only shuffle is the
     final 3-row class rollup, with map-side partial aggregation."""
     docs = load(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id", _make_bmp_synth_vardim()(F.col("doc_id")).alias("payload")
+    # ONE fused Python stage (r12): synth + decode + resize in a single
+    # mapInPandas — the intermediate BMP payload never crosses the JVM
+    # boundary (fused == two-stage asserted in pytest).
+    decoded = docs.select("doc_id").mapInPandas(
+        _make_bmp_resize_pipeline(), schema=_RESIZE_SCHEMA
     )
-    decoded = payloads.mapInPandas(_make_bmp_resize_decoder(), schema=_RESIZE_SCHEMA)
     size_class = (
         F.when(F.col("width") <= 24, "small")
         .when(F.col("width") <= 40, "medium")
@@ -519,6 +686,62 @@ def _make_pcm_decoder():
     return decode
 
 
+def _make_pcm_pipeline():
+    """FUSED synth→decode mapInPandas factory (r12 optimization): one
+    Python stage synthesizes the genuine little-endian int16 PCM bytes for
+    the whole Arrow batch, round-trips them through ``tobytes`` →
+    ``frombuffer`` (the decode is still a real bytes→samples parse), and
+    reduces to the same windowed features as ``_make_pcm_decoder``.
+
+    Why fused (guide §4.1/§2.3): the two-stage form moved every payload
+    JVM→Python (synth out), Python→JVM and JVM→Python again (decode in) —
+    three Arrow serializations of ~6 KB/doc of audio bytes that exist only
+    as an intermediate. Fusing drops the payload column from the plan
+    entirely (only doc_id crosses the boundary) and removes the
+    per-doc Python loop: the whole batch synthesizes as ONE vectorized
+    numpy expression instead of 5k small allocations.
+    pytest asserts fused == two-stage on the same corpus.
+    Self-contained closure (executor import rule)."""
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy().astype(_np.int64)
+            if ids.size == 0:
+                continue
+            ns = 2048 + 256 * (ids % 8)
+            starts = _np.concatenate(([0], _np.cumsum(ns)[:-1]))
+            total = int(ns.sum())
+            i = _np.arange(total, dtype=_np.int64) - _np.repeat(starts, ns)
+            did = _np.repeat(ids, ns)
+            # REAL PCM bytes: same formula, same <i2 encoding as the
+            # two-stage synth — then decoded back via frombuffer.
+            pcm = ((did * 7919 + i * 104729) % 16001 - 8000).astype("<i2").tobytes()
+            s = _np.frombuffer(pcm, dtype="<i2").astype(_np.int64)
+            wins = s.reshape(-1, 256)
+            sumsq = (wins * wins).sum(axis=1)
+            ks = ns // 256
+            wstarts = _np.concatenate(([0], _np.cumsum(ks)[:-1]))
+            widx = _np.arange(int(ks.sum()), dtype=_np.int64) - _np.repeat(
+                wstarts, ks
+            )
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _np.repeat(ids, ks),
+                    "window_idx": widx,
+                    "rms_e3": _np.round(
+                        _np.sqrt(sumsq / 256.0) * 1000.0
+                    ).astype(_np.int64),
+                    "peak": _np.abs(wins).max(axis=1),
+                    "n_samples": _np.repeat(ns, ks),
+                }
+            )
+
+    return run
+
+
 _AUDIO_ORACLE = """
 WITH samp AS (
   SELECT d.doc_id,
@@ -565,15 +788,19 @@ def mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    payloads = docs.select(
-        "doc_id", _make_pcm_synth()(F.col("doc_id")).alias("payload")
-    )
     # NO global sort on purpose: orderBy's range-sampling pass executes its
     # child once just to pick partition bounds, and with no shuffle between
     # decode and sort that ran synth+decode TWICE (measured 1.6× at sf0.1).
     # The output is a feature table — consumers sort if they need order,
     # and the driver's hash compare is order-insensitive.
-    return payloads.mapInPandas(_make_pcm_decoder(), schema=_AUDIO_SCHEMA)
+    #
+    # ONE fused Python stage (r12): synth + decode in a single mapInPandas
+    # — the intermediate PCM payload never crosses the JVM boundary, and
+    # the plan's ArrowEvalPython(synth) node disappears (see
+    # _make_pcm_pipeline; fused == two-stage asserted in pytest).
+    return docs.select("doc_id").mapInPandas(
+        _make_pcm_pipeline(), schema=_AUDIO_SCHEMA
+    )
 
 
 # --- REAL video path: container synth → frame-sample → decode ----------------
@@ -657,6 +884,58 @@ def _make_video_decoder():
     return decode
 
 
+def _make_video_pipeline():
+    """FUSED synth→sample→decode mapInPandas factory (r12 optimization):
+    one Python stage builds each doc's raw-RGB24 container bytes
+    (identical to ``_make_video_synth`` — asserted in pytest) and
+    frame-samples + decodes them through the same byte-range-slicing path
+    as ``_make_video_decoder``. The ~2-5 KB/doc container payload never
+    crosses the JVM boundary (guide §4.1/§2.3).
+    Self-contained closure (executor import rule)."""
+
+    def run(batches):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        vw, vh, stride = _VID_W, _VID_H, _VID_STRIDE
+
+        def synth_one(doc_id):
+            n_frames = 4 + (doc_id % 5)
+            f = _np.arange(n_frames)[:, None, None]
+            y = _np.arange(vh)[None, :, None]
+            x = _np.arange(vw)[None, None, :]
+            lum = ((doc_id * 31 + 17 * f + 7 * x + 13 * y) % 256).astype(_np.uint8)
+            frames = _np.repeat(lum[:, :, :, None], 3, axis=3)
+            return (
+                _struct.pack("<III", n_frames, vw, vh) + frames.tobytes()
+            )
+
+        cols = ("doc_id", "frame_idx", "n_frames", "lum_mean", "lum_min", "lum_max")
+
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                b = synth_one(int(doc_id))
+                n_frames, w, h = _struct.unpack_from("<III", b, 0)
+                fsize = w * h * 3
+                for fi in range(0, n_frames, stride):
+                    off = 12 + fi * fsize
+                    lum = _np.frombuffer(b, _np.uint8, count=fsize, offset=off)[
+                        ::3
+                    ].astype(_np.int64)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(fi)
+                    out["n_frames"].append(int(n_frames))
+                    out["lum_mean"].append(float(int(lum.sum())) / (w * h))
+                    out["lum_min"].append(int(lum.min()))
+                    out["lum_max"].append(int(lum.max()))
+            yield _pd.DataFrame(out)
+
+    return run
+
+
 _VIDEO_ORACLE = f"""
 WITH px AS (
   SELECT d.doc_id, f.range AS frame_idx, 4 + (d.doc_id % 5) AS n_frames,
@@ -691,12 +970,14 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    payloads = docs.select(
-        "doc_id", _make_video_synth()(F.col("doc_id")).alias("payload")
-    )
     # same no-global-sort rationale as mm_audio_rms_windows: orderBy's
-    # range sampling would re-run the synth+decode chain for nothing
-    return payloads.mapInPandas(_make_video_decoder(), schema=_VID_SCHEMA)
+    # range sampling would re-run the synth+decode chain for nothing.
+    # ONE fused Python stage (r12): synth + sample + decode in a single
+    # mapInPandas — the container payload never crosses the JVM boundary
+    # (fused == two-stage asserted in pytest).
+    return docs.select("doc_id").mapInPandas(
+        _make_video_pipeline(), schema=_VID_SCHEMA
+    )
 
 
 # --- Perceptual-hash image near-dup (r11 VERDICT #5) ---------------------------
@@ -864,6 +1145,93 @@ def _make_phash_decoder():
     return decode
 
 
+def _make_phash_pipeline():
+    """FUSED synth→decode→aHash mapInPandas factory (r12 optimization):
+    one Python stage renders each doc's genuine 16×16 BMP bytes
+    (byte-identical to ``_make_phash_bmp_synth`` — asserted in pytest) and
+    decodes+hashes them through the same real path as
+    ``_make_phash_decoder``. The ~800 B/doc payload never crosses the JVM
+    boundary, and the per-PIXEL Python render loop (256 iterations/doc)
+    becomes one vectorized numpy expression (guide §4.1/§4.2).
+    Self-contained closure (executor import rule)."""
+
+    w = h = _PH_W
+    groups = _PH_GROUPS
+
+    def run(batches):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        row_bytes = (w * 3 + 3) // 4 * 4
+        img_size = row_bytes * h
+        off = 14 + 40
+        header = b"BM" + _struct.pack("<IHHI", off + img_size, 0, 0, off)
+        info = _struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+        )
+        # per-bit base term depends only on j — computed once per task
+        j = _np.arange(64, dtype=_np.int64)
+        base = (j * j * 7919 + j * 104729 + 15485863) % 1000003
+        wpow = 1 << _np.arange(16, dtype=_np.int64)
+
+        def synth_one(doc_id):
+            g = doc_id % groups
+            bits = ((g + 1) * base) % 1000003 % 2
+            bits[0] = 0
+            bits[63] = 1
+            if doc_id % 3 > 0:
+                bits[(doc_id * 7919) % 62 + 1] ^= 1
+            bg = doc_id % 23
+            lum = _np.where(
+                _np.repeat(_np.repeat(bits.reshape(8, 8), 2, axis=0), 2, axis=1)
+                > 0,
+                255,
+                bg,
+            ).astype(_np.uint8)
+            rows = _np.zeros((h, row_bytes), _np.uint8)
+            rows[:, : w * 3] = _np.repeat(lum[:, :, None], 3, axis=2).reshape(
+                h, w * 3
+            )
+            return header + info + rows[::-1].tobytes()  # bottom-up storage
+
+        def decode_one(buf):
+            assert buf[:2] == b"BM", "not a BMP"
+            (poff,) = _struct.unpack_from("<I", buf, 10)
+            hdr_sz, pw, ph, _planes, bpp = _struct.unpack_from("<IiiHH", buf, 14)
+            assert hdr_sz == 40 and bpp == 24, (hdr_sz, bpp)
+            bottom_up = ph > 0
+            ph = abs(ph)
+            prow_bytes = (pw * 3 + 3) // 4 * 4
+            px = _np.frombuffer(
+                buf, dtype=_np.uint8, count=prow_bytes * ph, offset=poff
+            )
+            px = px.reshape(ph, prow_bytes)[:, : pw * 3].reshape(ph, pw, 3)
+            if bottom_up:
+                px = px[::-1]
+            lum = px[:, :, 0].astype(_np.int64)
+            # exact arithmetic: 2×2 block sums vs 4·(image sum)/256 — both
+            # integers, so the threshold compare is integer-exact
+            blocks = lum.reshape(8, 2, 8, 2).sum(axis=(1, 3))  # [by, bx]
+            bits = (blocks * 64 > lum.sum()).astype(_np.int64).reshape(64)
+            return [int(v) for v in bits.reshape(4, 16) @ wpow]
+
+        for pdf in batches:
+            hs = [decode_one(synth_one(int(d))) for d in pdf["doc_id"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "h0": [v[0] for v in hs],
+                    "h1": [v[1] for v in hs],
+                    "h2": [v[2] for v in hs],
+                    "h3": [v[3] for v in hs],
+                }
+            )
+
+    return run
+
+
 def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h3): synthesize the per-doc BMP, decode it for real,
     aHash it — one Arrow-batched map-only pass. localCheckpoint keeps the
@@ -873,12 +1241,12 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    payloads = docs.select(
-        "doc_id", _make_phash_bmp_synth()(F.col("doc_id")).alias("payload")
-    )
-    return payloads.mapInPandas(_make_phash_decoder(), schema=_PH_SCHEMA).localCheckpoint(
-        eager=False
-    )
+    # ONE fused Python stage (r12): synth + decode + aHash in a single
+    # mapInPandas — the BMP payload never crosses the JVM boundary
+    # (fused == two-stage asserted in pytest).
+    return docs.select("doc_id").mapInPandas(
+        _make_phash_pipeline(), schema=_PH_SCHEMA
+    ).localCheckpoint(eager=False)
 
 
 def _phash_band_keys(hashes: DataFrame) -> DataFrame:
@@ -1112,10 +1480,11 @@ def _phash_hashes_of(docs: DataFrame) -> DataFrame:
     spread = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    payloads = spread.select(
-        "doc_id", _make_phash_bmp_synth()(F.col("doc_id")).alias("payload")
+    # ONE fused Python stage (r12): synth + decode + aHash in a single
+    # mapInPandas — the BMP payload never crosses the JVM boundary.
+    return spread.select("doc_id").mapInPandas(
+        _make_phash_pipeline(), schema=_PH_SCHEMA
     )
-    return payloads.mapInPandas(_make_phash_decoder(), schema=_PH_SCHEMA)
 
 
 def refresh_phash_index(

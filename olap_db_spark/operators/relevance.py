@@ -783,7 +783,8 @@ def _hybrid_ivf_df(
     ).withColumn("n2", norm2_q(F.col("qv")))
     # exact integer MEAN centroid per cluster (truncating DIV, bounded
     # components — no int64 overflow at any cluster size; same shape as
-    # sim_ivf_search's index build)
+    # sim_ivf_search's index build). r12 note: a wide single-aggregate
+    # variant (64 sum columns) measured slower — see _ivf_topk's rationale.
     pos = nv.select("cluster", F.posexplode("qv").alias("d", "v"))
     cent = (
         pos.groupBy("cluster", "d")

@@ -345,22 +345,19 @@ def sim_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations built on exactly this aggregate."""
     e = load(spark, sf_dir, "embeddings")
     q = e.select("label", quantize(F.col("embedding")).alias("qv"))
-    # element-wise SUM via explode-with-position (posexplode) — map-side
-    # combinable; the exact-integer centroid numerators are order-free.
-    pos = q.select("label", F.posexplode("qv").alias("d", "v"))
-    agg = (
-        pos.groupBy("label", "d")
-        .agg(F.sum("v").alias("sv"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_dims"),
-            F.max(F.when(F.col("d") == 0, F.col("sv"))).alias("sv1"),
-            F.max(F.when(F.col("d") == 1, F.col("sv"))).alias("sv2"),
-        )
-    )
-    members = q.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    # ONE map-side-combinable hash aggregate: the output only needs the
+    # d=0/d=1 component sums and the member count, so sum(qv[0])/sum(qv[1])
+    # as columns replace the former posexplode → groupBy(label, d) →
+    # groupBy(label) → join(members) chain (a 64× row fan-out, 3 exchanges
+    # and a join for two sums a single aggregate computes directly —
+    # guide §2.3 "aggregate before you shuffle").
     return (
-        members.join(agg, "label")
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("qv").getItem(0)).alias("sv1"),
+            F.sum(F.col("qv").getItem(1)).alias("sv2"),
+        )
         .select(
             "label",
             "n_members",
@@ -461,7 +458,13 @@ def _ivf_topk(
     # exact integer MEAN centroid per k-means cluster (truncating DIV —
     # components bounded by the quantization scale, so the centroid norm
     # can never overflow int64 at any cluster size; mirrors the oracle's
-    # // division exactly)
+    # // division exactly).
+    # r12 note: a single wide aggregate (64 per-dimension sum columns, no
+    # posexplode) was tried and measured ~0.2 s SLOWER per run at sf0.1
+    # (0.45 vs 0.25 s isolated): the 64 sum+DIV buffers blow up the
+    # generated aggregate code and the compile cost recurs per run, while
+    # this explode shape's exchanges carry only k×dim pre-combined rows
+    # (map-side partial aggregation), so it is not a scale hazard either.
     pos = q.select("cluster", F.posexplode("qv").alias("d", "v"))
     cent = (
         pos.groupBy("cluster", "d")
@@ -792,7 +795,10 @@ def ivf_base_index(
     operator builds."""
     assigned = kmeans_fit_assign(spark, sf_dir, vecs=base).join(base, "vec_id")
     # exact integer-MEAN centroid per cell (truncating DIV — the _ivf_topk
-    # convention, mirrored by the oracle's // division)
+    # convention, mirrored by the oracle's // division). r12 note: the
+    # wide single-aggregate variant (64 sum columns) measured slower —
+    # see the rationale in _ivf_topk; the explode shape's exchanges carry
+    # only k×dim pre-combined rows.
     bpos = assigned.select("cluster", F.posexplode("qv").alias("d", "v"))
     cent = (
         bpos.groupBy("cluster", "d")
@@ -1011,22 +1017,21 @@ def _pq_topk(spark: SparkSession, q: DataFrame, query_pred=None) -> DataFrame:
     overrides the default fixed query set (truth-set sampling)."""
     if query_pred is None:
         query_pred = F.col("vec_id") < _N_QUERIES
-    # codebook: the _PQ_CODES md5-smallest vec_ids (tiny driver collect —
-    # this is index BUILD; the searched data never reaches the driver)
-    seed_ids = [
-        r["vec_id"]
-        for r in q.select(
-            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+    # codebook: the _PQ_CODES md5-smallest vec_ids. ONE tiny driver
+    # collect — the top-k carries qv along (the kmeans seed pattern), so
+    # the former second scan (isin(seed_ids) re-filter + collect) is gone.
+    # This is index BUILD; the searched data never reaches the driver.
+    seed_rows = (
+        q.select(
+            "vec_id", "qv", F.md5(F.col("vec_id").cast("string")).alias("h")
         )
         .orderBy("h")
         .limit(_PQ_CODES)
         .collect()
-    ]
+    )
     cb_rows = [
         (code, r["qv"])
-        for code, r in enumerate(
-            q.filter(F.col("vec_id").isin(seed_ids)).orderBy("vec_id").collect()
-        )
+        for code, r in enumerate(sorted(seed_rows, key=lambda r: r["vec_id"]))
     ]
     cb = spark.createDataFrame(cb_rows, "code LONG, qv ARRAY<LONG>")
     subspaces = F.array(
@@ -1034,13 +1039,18 @@ def _pq_topk(spark: SparkSession, q: DataFrame, query_pred=None) -> DataFrame:
     )
     cb_sub = cb.select("code", F.posexplode(subspaces).alias("s", "cv8"))
     v_sub = q.select("vec_id", F.posexplode(subspaces).alias("s", "v8"))
-    w_enc = Window.partitionBy("vec_id", "s").orderBy("sub_d2", "code")
+    # argmin over codes as ONE lexicographic struct-min hash aggregate —
+    # (sub_d2, code) is unique per (vec_id, s), so min(struct) IS the
+    # row_number()==1 row; the former window shape paid a full
+    # exchange+sort of the N×M×CODES candidate stream where a map-side-
+    # combinable aggregate suffices (the r10 sim_pq_refresh lesson,
+    # applied to the search/eval route).
     encoded = (
         v_sub.join(F.broadcast(cb_sub), "s")
         .withColumn("sub_d2", _pq_subd2(F.col("v8"), F.col("cv8")))
-        .withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "code")
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("sub_d2", "code")).alias("m"))
+        .select("vec_id", "s", F.col("m.code").alias("code"))
     )
     lut = (
         v_sub.filter(query_pred)

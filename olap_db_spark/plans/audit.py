@@ -150,13 +150,26 @@ _FLAGSHIP_CHECKS = {
         ("assignment joined by broadcast", "BroadcastHashJoin"),
         ("no cartesian pair join", "!CartesianProduct"),
     ],
+    # round-12 optimization: synth+decode FUSED into one Python stage —
+    # the intermediate payload never crosses the JVM boundary, so exactly
+    # one MapInPandas and NO ArrowEvalPython may appear (a second Python
+    # node means the payload double-crossing crept back in)
     "mm_audio_rms_windows": [
-        ("Arrow-batched synth", "ArrowEvalPython"),
-        ("Arrow-batched decode", "MapInPandas"),
+        ("one fused Python stage", "MapInPandas"),
+        ("no second Python crossing", "!ArrowEvalPython"),
     ],
     "mm_video_frame_sample": [
-        ("Arrow-batched synth", "ArrowEvalPython"),
-        ("Arrow-batched sample+decode", "MapInPandas"),
+        ("one fused Python stage", "MapInPandas"),
+        ("no second Python crossing", "!ArrowEvalPython"),
+    ],
+    "mm_real_decode_stats": [
+        ("one fused Python stage", "MapInPandas"),
+        ("no second Python crossing", "!ArrowEvalPython"),
+    ],
+    "mm_decode_resize_stats": [
+        ("one fused Python stage", "MapInPandas"),
+        ("no second Python crossing", "!ArrowEvalPython"),
+        ("partial aggregation", "partial_"),
     ],
     # round-5 operators' plan promises
     "ts_sequence_match": [
