@@ -420,7 +420,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns candidate generation into 4 equi-joins on 16-byte keys; only
     candidate pairs (not all pairs) fetch shingle arrays for verification.
     """
-    sh = _shingled(_dup_corpus(spark, sf_dir))
+    from pyspark import StorageLevel
+
+    # shared-frame checkpoint (r12): the banding pass and both verify
+    # sides reference the shingled corpus — one compute + reads instead
+    # of re-running the explode + collect_set pipeline per reference
+    # (same measured rationale as _lsh_eval_df).
+    sh = _shingled(_dup_corpus(spark, sf_dir)).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     return (
         _candidate_jaccard(_lsh_candidates(sh), sh)
         .filter(F.col("jaccard") >= 0.5)
@@ -643,7 +651,18 @@ def _lsh_eval_df(spark: SparkSession, sf_dir: str, doc_pred=None) -> DataFrame:
     shape of this query did exactly that: three scalar-count subtrees
     re-ran candidate generation, verification and the truth route from
     the parquet scan up, 24 scans in the plan and 2× the runtime)."""
-    sh = _shingled(_dup_corpus(spark, sf_dir))
+    from pyspark import StorageLevel
+
+    # Materialize the shingled corpus ONCE (r12): both routes (LSH bands,
+    # two verify sides, the exact-Jaccard truth) consume this frame — five
+    # references whose explode + collect_set pipeline partially re-ran at
+    # runtime (3.18 → 2.88 s measured at sf0.1 with the checkpoint). One
+    # row per shingled doc; MEMORY_AND_DISK per the data-sized-checkpoint
+    # rule, partition count inherited from the aggregate's (AQE-coalesced,
+    # conf-scaled on a cluster) exchange.
+    sh = _shingled(_dup_corpus(spark, sf_dir)).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     # UNFILTERED candidate jaccard: the verify threshold becomes a flag,
     # so n_cand and n_verified come from the same rows. The sampled
     # eval's endpoint coin (doc_pred) is pushed into pair GENERATION on
@@ -1021,6 +1040,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_CHUNK_BITS)
         )
 
+    from pyspark import StorageLevel
+
+    # Materialize the per-doc simhash table ONCE (r12): the chunk-key
+    # self-join references this subtree on BOTH sides, and at runtime the
+    # token-explode + md5 + 60-aggregate pipeline executed twice (3.26 →
+    # 2.68 s measured at sf0.1 with the checkpoint). The pinned state is
+    # one row per document (doc_id + 5 ints ≈ 48 B) — this IS the simhash
+    # index a dedup service would persist; MEMORY_AND_DISK per the
+    # data-sized-checkpoint rule.
     sim = bit_sums.select(
         "doc_id",
         *[_chunk(c).alias(f"chunk{c}") for c in range(4)],
@@ -1030,7 +1058,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"chunk{c}") * F.lit(2 ** (c * _CHUNK_BITS)).cast("long")
             for c in range(4)
         ),
-    )
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     ck = sim.select(
         "doc_id",
         "simhash",
@@ -1297,7 +1325,6 @@ def _star_contraction(pairs: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    prev_sig = None
     converged = False
     for _ in range(10):  # rounds ≈ log(diameter); near-dup graphs need 2-3
         # Large-star: each node u connects its LARGER neighbors to
@@ -1332,19 +1359,37 @@ def _star_contraction(pairs: DataFrame) -> DataFrame:
         )
         e_centers = sml.select(F.col("m").alias("u"), F.col("big").alias("v"))
         new_edges = e_leaves.unionAll(e_centers).distinct().localCheckpoint()
-        # Fixpoint test: the edge set is literally unchanged once every
-        # component is a star rooted at its minimum. Order-independent
-        # signature = (count, XOR of per-edge hashes) — XOR can't overflow.
-        sig = tuple(
-            new_edges.agg(
-                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
-            ).collect()[0]
-        )
         edges = new_edges
-        if sig == prev_sig:
+        # Convergence test (r12): the fixpoints of alternating large-/
+        # small-star contraction are exactly the star forests rooted at
+        # component minima, and canonical (u < v) star-forest edges are
+        # recognizable DIRECTLY — every node appears either only as a
+        # root (u) or as a member (v) of exactly one root. The previous
+        # test compared order-free signatures of consecutive edge sets,
+        # which by construction runs one full contraction round (3
+        # shuffles + checkpoint) PAST convergence just to watch the
+        # signature repeat; this one small aggregate over the
+        # just-checkpointed edges (one job, one exchange of 2|E| pre-
+        # combined rows) stops in the round that converges. Violations:
+        # a node that is both root and member, or a member with two
+        # roots.
+        roles = new_edges.select(
+            F.col("u").alias("node"), F.lit(1).alias("as_u"), F.lit(0).alias("as_v")
+        ).unionAll(
+            new_edges.select(
+                F.col("v").alias("node"), F.lit(0).alias("as_u"), F.lit(1).alias("as_v")
+            )
+        )
+        non_star = (
+            roles.groupBy("node")
+            .agg(F.sum("as_u").alias("nu"), F.sum("as_v").alias("nv"))
+            .filter((F.col("nv") > 1) | ((F.col("nu") > 0) & (F.col("nv") > 0)))
+            .limit(1)
+            .count()
+        )
+        if non_star == 0:
             converged = True
             break
-        prev_sig = sig
     if not converged:
         raise RuntimeError(
             "star contraction did not converge within the round bound; "
@@ -1509,11 +1554,19 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same log(diameter)-round star contraction as
     ``dedup_components``; the expansion is one equi-join back to
     O(duplicated docs) rows + one hash aggregate for group sizes."""
+    from pyspark import StorageLevel
+
     corpus = _dup_corpus(spark, sf_dir)
     keyed = corpus.select("doc_id", F.md5(F.col("text")).alias("tkey"))
+    # Materialize the class table ONCE (r12): `classes` is referenced by
+    # the rep semi-join, the self-clique gate AND the member expansion —
+    # left lazy, each reference re-scanned the corpus and re-ran the md5
+    # class aggregate (the captured plan carried the corpus subtree 4×).
+    # One row per DISTINCT text (tkey, node, csize) — the exact-dedup
+    # class table a curation pipeline persists anyway.
     classes = keyed.groupBy("tkey").agg(
         F.min("doc_id").alias("node"), F.count(F.lit(1)).alias("csize")
-    )
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     # The explicit repartition is a PLANNER-BUG GUARD, found by the sf100
     # probe (and reproducible at sf0.001 under autoBroadcastJoinThreshold
     # =-1): the optimizer pushes this semi-join into _dup_corpus's UNION
@@ -1529,7 +1582,15 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = corpus.join(
         classes.select(F.col("node").alias("doc_id")), "doc_id", "left_semi"
     ).repartition("doc_id")
-    sh = _shingled(reps)
+    from pyspark import StorageLevel
+
+    # shared-frame checkpoint (r12): banding + both verify sides reference
+    # the rep-level shingle table (O(distinct texts) rows — the collapsed
+    # class-shingle table the LSH index persists); one compute + reads
+    # (same measured rationale as _lsh_eval_df).
+    sh = _shingled(reps).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     pairs = (
         _candidate_jaccard(_lsh_candidates(sh), sh)
         .filter(F.col("jaccard") >= 0.5)
@@ -1540,10 +1601,20 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # classes of >= 2 shingled clones are cliques even when their rep has
     # no cross-class edge: they form their own component, rooted at the
-    # node (= the class min, = the component min)
+    # node (= the class min, = the component min).
+    # "the rep IS shingled" ⟺ its text has ≥ 3 tokens (_shingled's only
+    # filter), so the gate is the map-only token-count predicate on the
+    # rep rows — the former semi-join against `sh` re-derived the whole
+    # shingle collect_set aggregate a second time (the checkpointed CC
+    # already consumed it once) just to answer this membership test
+    # (r12 optimization; guide §1.2 "don't compute things you throw
+    # away").
+    tok3 = reps.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= 3).select(
+        F.col("doc_id").alias("node")
+    )
     selfc = (
         classes.filter(F.col("csize") >= 2)
-        .join(sh.select(F.col("doc_id").alias("node")), "node", "left_semi")
+        .join(tok3, "node", "left_semi")
         .join(cc, "node", "left_anti")
         .select("node", F.col("node").alias("component"))
     )

@@ -334,3 +334,222 @@ VARIANTS = {
     "old:sim_pq_search": old_sim_pq_search,
     "old:sim_ivf_centroids": old_sim_ivf_centroids,
 }
+
+
+# --- batch 2: pre-change star contraction / minhash_groups / pagerank --------
+
+def _old_star_contraction(pairs):
+    edges = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(10):
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("minv"))
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("a"),
+                F.least(F.col("minv"), F.col("u")).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+        )
+        d = ls.select(F.col("v").alias("big"), F.col("u").alias("small"))
+        sml = d.groupBy("big").agg(F.min("small").alias("m"))
+        e_leaves = (
+            d.join(sml, "big")
+            .where(F.col("small") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("small").alias("v"))
+        )
+        e_centers = sml.select(F.col("m").alias("u"), F.col("big").alias("v"))
+        new_edges = e_leaves.unionAll(e_centers).distinct().localCheckpoint()
+        sig = tuple(
+            new_edges.agg(
+                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
+            ).collect()[0]
+        )
+        edges = new_edges
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError("no convergence")
+    members = edges.select(
+        F.col("v").alias("doc_id"), F.col("u").alias("component")
+    )
+    centers = (
+        edges.select("u").distinct().select(
+            F.col("u").alias("doc_id"), F.col("u").alias("component")
+        )
+    )
+    return members.unionAll(centers)
+
+
+def old_dedup_components(spark, sf_dir):
+    import olap_db_spark.operators.fuzzy_dedup as fd
+
+    pairs = fd.dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cc = _old_star_contraction(pairs)
+    return cc.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).cast("int").alias("is_keeper"),
+    )
+
+
+def old_dedup_cluster_best(spark, sf_dir):
+    import olap_db_spark.operators.fuzzy_dedup as fd
+
+    comp = old_dedup_components(spark, sf_dir).select("doc_id", "component")
+    toks = fd._dup_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    scored = comp.join(toks, "doc_id")
+    best = scored.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(
+            F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("w"),
+        F.sum("n_tokens").alias("tot"),
+    )
+    return best.select(
+        "component",
+        (-F.col("w.neg_id")).alias("keep_id"),
+        "n_members",
+        F.col("w.n_tokens").alias("best_tokens"),
+        (F.col("tot") - F.col("w.n_tokens")).alias("dropped_tokens"),
+    )
+
+
+def old_dedup_minhash_groups(spark, sf_dir):
+    import olap_db_spark.operators.fuzzy_dedup as fd
+
+    corpus = fd._dup_corpus(spark, sf_dir)
+    keyed = corpus.select("doc_id", F.md5(F.col("text")).alias("tkey"))
+    classes = keyed.groupBy("tkey").agg(
+        F.min("doc_id").alias("node"), F.count(F.lit(1)).alias("csize")
+    )
+    reps = corpus.join(
+        classes.select(F.col("node").alias("doc_id")), "doc_id", "left_semi"
+    ).repartition("doc_id")
+    sh = fd._shingled(reps)
+    pairs = (
+        fd._candidate_jaccard(fd._lsh_candidates(sh), sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    cc = _old_star_contraction(pairs).select(
+        F.col("doc_id").alias("node"), "component"
+    )
+    selfc = (
+        classes.filter(F.col("csize") >= 2)
+        .join(sh.select(F.col("doc_id").alias("node")), "node", "left_semi")
+        .join(cc, "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    node_comp = cc.unionByName(selfc)
+    members = (
+        keyed.join(classes.select("tkey", "node"), "tkey")
+        .join(node_comp, "node")
+        .select("doc_id", "component")
+    )
+    sizes = members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        members.join(sizes, "component")
+        .select(
+            "doc_id",
+            F.col("component").alias("group_id"),
+            "group_size",
+            (F.col("doc_id") == F.col("component")).cast("int").alias("is_keeper"),
+        )
+    )
+
+
+def old_graph_pagerank(spark, sf_dir):
+    from olap_db_spark.catalog import load as _load
+    import olap_db_spark.operators.graph as g
+
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges0 = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionAll(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    deg = edges0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = (
+        o.select("o_custkey").distinct().count()
+        + li.select("l_suppkey").distinct().count()
+    )
+    assert n_nodes <= g._PR_BROADCAST_MAX_NODES
+    edges = edges0.join(deg, "src").localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    rank = nodes.select("node", F.lit(g._PR_SCALE).cast("long").alias("rank"))
+    for _ in range(g._PR_ITERS):
+        contrib = (
+            edges.join(
+                F.broadcast(rank.withColumnRenamed("node", "src")), "src"
+            )
+            .select("dst", F.expr("rank DIV deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        rank = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((15 * g._PR_SCALE) // 100)
+                    + F.expr("(85 * COALESCE(c, 0)) DIV 100")
+                ).alias("rank"),
+            )
+        )
+    return (
+        rank.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("kind"),
+            F.expr("(node - node % 2) DIV 2").alias("entity_key"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(g._PR_TOPK)
+    )
+
+
+VARIANTS.update(
+    {
+        "old:dedup_components": old_dedup_components,
+        "old:dedup_cluster_best": old_dedup_cluster_best,
+        "old:dedup_minhash_groups": old_dedup_minhash_groups,
+        "old:graph_pagerank_purchases": old_graph_pagerank,
+    }
+)
