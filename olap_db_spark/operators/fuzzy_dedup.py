@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
+from ._materialize import materialize
 from ._vector import quantize, sql_cosine, sql_dot, sql_quantize
 from .kmeans import _DIM as _EMB_DIM
 from .kmeans import _ITERS as _KM_ITERS
@@ -420,15 +421,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns candidate generation into 4 equi-joins on 16-byte keys; only
     candidate pairs (not all pairs) fetch shingle arrays for verification.
     """
-    from pyspark import StorageLevel
-
     # shared-frame checkpoint (r12): the banding pass and both verify
     # sides reference the shingled corpus — one compute + reads instead
     # of re-running the explode + collect_set pipeline per reference
-    # (same measured rationale as _lsh_eval_df).
-    sh = _shingled(_dup_corpus(spark, sf_dir)).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+    # (same measured rationale as _lsh_eval_df). r13: via materialize()
+    # — conf-gated reliable checkpoint for cluster fault tolerance.
+    sh = materialize(_shingled(_dup_corpus(spark, sf_dir)))
     return (
         _candidate_jaccard(_lsh_candidates(sh), sh)
         .filter(F.col("jaccard") >= 0.5)
@@ -651,18 +649,15 @@ def _lsh_eval_df(spark: SparkSession, sf_dir: str, doc_pred=None) -> DataFrame:
     shape of this query did exactly that: three scalar-count subtrees
     re-ran candidate generation, verification and the truth route from
     the parquet scan up, 24 scans in the plan and 2× the runtime)."""
-    from pyspark import StorageLevel
-
     # Materialize the shingled corpus ONCE (r12): both routes (LSH bands,
     # two verify sides, the exact-Jaccard truth) consume this frame — five
     # references whose explode + collect_set pipeline partially re-ran at
     # runtime (3.18 → 2.88 s measured at sf0.1 with the checkpoint). One
     # row per shingled doc; MEMORY_AND_DISK per the data-sized-checkpoint
     # rule, partition count inherited from the aggregate's (AQE-coalesced,
-    # conf-scaled on a cluster) exchange.
-    sh = _shingled(_dup_corpus(spark, sf_dir)).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+    # conf-scaled on a cluster) exchange. r13: via materialize() — conf-
+    # gated reliable checkpoint for cluster fault tolerance.
+    sh = materialize(_shingled(_dup_corpus(spark, sf_dir)))
     # UNFILTERED candidate jaccard: the verify threshold becomes a flag,
     # so n_cand and n_verified come from the same rows. The sampled
     # eval's endpoint coin (doc_pred) is pushed into pair GENERATION on
@@ -1040,16 +1035,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_CHUNK_BITS)
         )
 
-    from pyspark import StorageLevel
-
     # Materialize the per-doc simhash table ONCE (r12): the chunk-key
     # self-join references this subtree on BOTH sides, and at runtime the
     # token-explode + md5 + 60-aggregate pipeline executed twice (3.26 →
     # 2.68 s measured at sf0.1 with the checkpoint). The pinned state is
     # one row per document (doc_id + 5 ints ≈ 48 B) — this IS the simhash
     # index a dedup service would persist; MEMORY_AND_DISK per the
-    # data-sized-checkpoint rule.
-    sim = bit_sums.select(
+    # data-sized-checkpoint rule (r13: via materialize() — conf-gated
+    # reliable checkpoint for cluster fault tolerance).
+    sim = materialize(bit_sums.select(
         "doc_id",
         *[_chunk(c).alias(f"chunk{c}") for c in range(4)],
     ).withColumn(
@@ -1058,7 +1052,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"chunk{c}") * F.lit(2 ** (c * _CHUNK_BITS)).cast("long")
             for c in range(4)
         ),
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    ))
     ck = sim.select(
         "doc_id",
         "simhash",
@@ -1314,16 +1308,17 @@ def _star_contraction(pairs: DataFrame) -> DataFrame:
     Shared by ``dedup_components`` (exact-Jaccard graph) and
     ``dedup_minhash_groups`` (MinHash-LSH graph); the convergence and
     scale arguments live on ``dedup_components``."""
-    # Materialize the canonical (u < v) edge list ONCE; localCheckpoint
-    # truncates lineage so each round's work is done exactly once.
-    edges = (
+    # Materialize the canonical (u < v) edge list ONCE (r13: via
+    # materialize() — conf-gated reliable checkpoint; lineage truncation
+    # so each round's work is done exactly once is unchanged).
+    edges = materialize(
         pairs.select(
             F.least("doc_a", "doc_b").alias("u"),
             F.greatest("doc_a", "doc_b").alias("v"),
         )
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        storage=None,
     )
     converged = False
     for _ in range(10):  # rounds ≈ log(diameter); near-dup graphs need 2-3
@@ -1358,7 +1353,9 @@ def _star_contraction(pairs: DataFrame) -> DataFrame:
             .select(F.col("m").alias("u"), F.col("small").alias("v"))
         )
         e_centers = sml.select(F.col("m").alias("u"), F.col("big").alias("v"))
-        new_edges = e_leaves.unionAll(e_centers).distinct().localCheckpoint()
+        new_edges = materialize(
+            e_leaves.unionAll(e_centers).distinct(), storage=None
+        )
         edges = new_edges
         # Convergence test (r12): the fixpoints of alternating large-/
         # small-star contraction are exactly the star forests rooted at
@@ -1554,8 +1551,6 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same log(diameter)-round star contraction as
     ``dedup_components``; the expansion is one equi-join back to
     O(duplicated docs) rows + one hash aggregate for group sizes."""
-    from pyspark import StorageLevel
-
     corpus = _dup_corpus(spark, sf_dir)
     keyed = corpus.select("doc_id", F.md5(F.col("text")).alias("tkey"))
     # Materialize the class table ONCE (r12): `classes` is referenced by
@@ -1564,9 +1559,9 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # class aggregate (the captured plan carried the corpus subtree 4×).
     # One row per DISTINCT text (tkey, node, csize) — the exact-dedup
     # class table a curation pipeline persists anyway.
-    classes = keyed.groupBy("tkey").agg(
+    classes = materialize(keyed.groupBy("tkey").agg(
         F.min("doc_id").alias("node"), F.count(F.lit(1)).alias("csize")
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    ))
     # The explicit repartition is a PLANNER-BUG GUARD, found by the sf100
     # probe (and reproducible at sf0.001 under autoBroadcastJoinThreshold
     # =-1): the optimizer pushes this semi-join into _dup_corpus's UNION
@@ -1582,15 +1577,11 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = corpus.join(
         classes.select(F.col("node").alias("doc_id")), "doc_id", "left_semi"
     ).repartition("doc_id")
-    from pyspark import StorageLevel
-
     # shared-frame checkpoint (r12): banding + both verify sides reference
     # the rep-level shingle table (O(distinct texts) rows — the collapsed
     # class-shingle table the LSH index persists); one compute + reads
     # (same measured rationale as _lsh_eval_df).
-    sh = _shingled(reps).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+    sh = materialize(_shingled(reps))
     pairs = (
         _candidate_jaccard(_lsh_candidates(sh), sh)
         .filter(F.col("jaccard") >= 0.5)
@@ -1779,6 +1770,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qv"),
     )
     vecs = base.unionAll(dup)
+    # r13 measured dead end (guide §1.1): kmeans_fit_assign(full=True) —
+    # the (vec_id, qv, cluster) frame straight off the persisted
+    # assignment, dropping this join — read 0.92× (2.6 vs 2.4 s quiet
+    # interleaved A/B): `clustered` has exactly ONE consumer here (the
+    # applyInPandas scorer), so the bigger persist write (64-long qv per
+    # row) costs more than the single join it saves. The IVF/hybrid
+    # consumers, which read the fitted frame 3–6×, DO use full=True.
     assigned = kmeans_fit_assign(spark, sf_dir, k="auto", vecs=vecs)
     clustered = vecs.join(assigned, "vec_id")
     # deterministic re-split of skew-oversized clusters into sub-blocks

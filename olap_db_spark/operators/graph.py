@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from ._materialize import materialize
 
 _PR_ITERS = 5
 _PR_SCALE = 1_000_000_000  # fixed-point: initial total mass = N × 1e9 / N
@@ -141,7 +142,11 @@ def _pagerank_df(
     # O(E) side still never moves per iteration.
     # one job for both distinct counts (r12: the two separate .count()
     # actions each paid a full job launch for a bound that one union +
-    # aggregate computes)
+    # aggregate computes). countDistinct ignores NULLs where the old
+    # distinct().count() counted a NULL group — benign here because
+    # o_custkey / l_suppkey are non-null by the TPC-H FK contract (and a
+    # NULL key could never form an edge: the equi-join below drops it),
+    # so the bound is unchanged on any corpus this engine loads.
     n_nodes = (
         o.select((F.col("o_custkey") * 2).alias("n"))
         .unionAll(li.select((F.col("l_suppkey") * 2 + 1).alias("n")))
@@ -153,7 +158,8 @@ def _pagerank_df(
         rank_side = F.broadcast
         # degree folded in ONCE, then materialized: every iteration's
         # message round is one join against this checkpointed table
-        edges = joined.localCheckpoint()
+        # (r13: via materialize() — conf-gated reliable checkpoint)
+        edges = materialize(joined, storage=None)
     else:
         rank_side = lambda df: df  # noqa: E731 — AQE plans the shuffle join
         # The cluster answer to the message-round join: persist the O(E)
@@ -207,33 +213,43 @@ def _pagerank_df(
     # the unrolled plan (measured: 16 exchanges → 11 at sf0.1). A (long)
     # per node, the same bounded O(V) state class as the final-rank
     # checkpoint in the fallback branch.
-    from pyspark import StorageLevel
-
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    nodes = materialize(
+        edges.select(F.col("src").alias("node")).distinct()
     )
-    rank = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
+    # r13: the per-iteration rank table is ALGEBRAICALLY folded into the
+    # next message round. rank_i(node) = K + (85·coalesce(c_i(node),0))
+    # DIV 100 with K = floor(0.15·S) — a pure function of the contrib
+    # aggregate — and every edge src IS a node, so the old per-iteration
+    # pair {edges ⋈ rank (broadcast/shuffle) ; nodes ⟕ contrib
+    # (SortMergeJoin: Exchange+Sort on BOTH sides)} collapses to ONE
+    # edges ⟕ contrib join per round: the rank expression evaluates
+    # inline on the joined stream and the O(V) rank table never
+    # materializes inside the loop. nodes ⟕ contrib runs exactly once at
+    # the end, to emit rank rows for message-less nodes too. (A first r13
+    # cut that kept the per-iteration rebuild but broadcast `contrib`
+    # measured SLOWER than the SMJ shape — 5.8 vs 5.2 s interleaved: two
+    # driver-serialized broadcast builds per round; this fold keeps ONE
+    # broadcast per round and removes the second join outright. Plan:
+    # 5 SortMergeJoin → 0 in the loop, Exchange 15 → 11.)
+    _K_TELEPORT = (15 * _PR_SCALE) // 100
+    _rank_expr = F.lit(_K_TELEPORT) + F.expr("(85 * COALESCE(c, 0)) DIV 100")
+    contrib = None
     for _ in range(_PR_ITERS):
+        if contrib is None:
+            ranked = edges.withColumn("rank", F.lit(_PR_SCALE).cast("long"))
+        else:
+            ranked = edges.join(
+                rank_side(contrib.withColumnRenamed("dst", "src")), "src", "left"
+            ).withColumn("rank", _rank_expr)
         contrib = (
-            edges.join(
-                rank_side(rank.withColumnRenamed("node", "src")), "src"
-            )
-            .select("dst", F.expr("rank DIV deg").alias("share"))
+            ranked.select("dst", F.expr("rank DIV deg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("c"))
         )
-        rank = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit((15 * _PR_SCALE) // 100)
-                    + F.expr("(85 * COALESCE(c, 0)) DIV 100")
-                ).alias("rank"),
-            )
-        )
+    rank = (
+        nodes.join(rank_side(contrib), nodes.node == contrib.dst, "left")
+        .select("node", _rank_expr.alias("rank"))
+    )
     if n_nodes > broadcast_max_nodes:
         # Materialize the O(V) final ranks eagerly (a (long, long) pair
         # per node — MB-scale even at sf100) so the bucketed edge cache
@@ -243,11 +259,7 @@ def _pagerank_df(
         # (a second _pagerank_df call used to overwrite the table before
         # the first result was consumed). SERIALIZED + disk-spillable per
         # the sf100 OOM lesson on deserialized unrolls.
-        from pyspark import StorageLevel
-
-        rank = rank.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-        )
+        rank = materialize(rank)
         spark.sql(f"DROP TABLE IF EXISTS {cache_tbl}")
         delete_managed_location(spark, "olap_pr_cache", cache_tbl.split(".")[1])
     return (

@@ -25,11 +25,21 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from ._materialize import materialize
 from ._vector import quantize, sql_dot, sql_quantize
 
 _K = 16
 _ITERS = 4
 _DIM = 64
+
+# Session-scoped lifecycle for the persisted final assignment (r13): each
+# fit persists one (vec_id, cluster) frame; a long-lived service session
+# invoking many fit-backed queries used to accumulate them until LRU
+# eviction. Keep the two most recent (the newest, plus the previous one in
+# case a composed query is still consuming it) and unpersist anything
+# older — bounded executor storage at any session length.
+_LIVE_ASSIGNMENTS: list[DataFrame] = []
+_LIVE_ASSIGNMENTS_MAX = 2
 
 # auto-k: clusters sized so the within-cluster pair stage stays O(N·B).
 # k = max(_K, ceil(N / _TARGET_BLOCK)) — k grows linearly with the corpus,
@@ -147,6 +157,7 @@ def kmeans_fit_assign(
     k: int | str = _K,
     iters: int = _ITERS,
     vecs: DataFrame | None = None,
+    full: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over quantized embeddings → (vec_id, cluster).
 
@@ -165,7 +176,17 @@ def kmeans_fit_assign(
 
     ``vecs`` overrides the corpus: any (vec_id, qv: array<bigint>) frame —
     mirror its SQL via ``sql_kmeans_assign(vecs_sql=...)`` to keep the
-    oracle exact (used by fuzzy_dedup.dedup_semantic)."""
+    oracle exact (used by fuzzy_dedup.dedup_semantic).
+
+    ``full=True`` returns (vec_id, qv, cluster) instead of
+    (vec_id, cluster) — the IVF posting-list row an ANN service persists.
+    r13: every fit consumer that needs the vectors (IVF centroid build +
+    candidate scan, SemDeDup's blocked scorer, the hybrid route) used to
+    re-derive quantize from the parquet source AND pay a vecs⋈assignment
+    equi-join per reference; the qv column is already present on the
+    assignment frame before the final select, so persisting it costs no
+    extra compute and removes one source scan + one join from every such
+    consumer (guide §2.4 "remove shuffles outright")."""
     if vecs is None:
         vecs = load(spark, sf_dir, "embeddings").select(
             "vec_id", quantize(F.col("embedding")).alias("qv")
@@ -174,7 +195,9 @@ def kmeans_fit_assign(
     # read the materialized table instead of re-deriving quantize from the
     # source (one fewer full source pass each); the update passes + the
     # final assignment then all rescan this one checkpoint.
-    vecs = vecs.localCheckpoint()
+    # r13: via materialize() — conf-gated reliable checkpoint for
+    # cluster fault tolerance (plan unchanged with the gate off).
+    vecs = materialize(vecs, storage=None)
     if k == "auto":
         n_vecs = vecs.count()
         k = max(_K, -(-n_vecs // _TARGET_BLOCK))  # ceil division
@@ -236,10 +259,14 @@ def kmeans_fit_assign(
     # launch concurrently, and the concurrent first readers race to
     # populate the unmaterialized cache — re-running the Arrow assignment
     # pass. One tiny count() up front keeps every consumer a cache read.
-    final = vecs.withColumn(
-        "cluster", _assign_udf(centroids)(F.col("qv"))
-    ).select("vec_id", "cluster").persist()
+    final = vecs.withColumn("cluster", _assign_udf(centroids)(F.col("qv")))
+    if not full:
+        final = final.select("vec_id", "cluster")
+    final = final.persist()
     final.count()
+    _LIVE_ASSIGNMENTS.append(final)
+    while len(_LIVE_ASSIGNMENTS) > _LIVE_ASSIGNMENTS_MAX:
+        _LIVE_ASSIGNMENTS.pop(0).unpersist()
     return final
 
 

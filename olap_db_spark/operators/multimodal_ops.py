@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from ._materialize import materialize
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, payload BINARY, meta STRUCT) — the engine's
@@ -202,6 +203,41 @@ def _make_bmp_decoder():
     return decode
 
 
+def _make_bmp_fused_synth_one():
+    """The fused BMP pipeline's per-doc synth body, exposed as a
+    module-level factory so the pytest byte-identity assertion
+    (tests/test_fused_multimodal.py) runs against the EXACT closure the
+    executors run, not a re-implementation. Returned closure is
+    self-contained (captures only plain values + numpy arrays — pickled
+    by value; executor import rule)."""
+    import struct as _struct
+
+    import numpy as _np
+
+    w, h = _BMP_W, _BMP_H
+    row_bytes = (w * 3 + 3) // 4 * 4
+    img_size = row_bytes * h
+    off = 14 + 40
+    header = b"BM" + _struct.pack("<IHHI", off + img_size, 0, 0, off)
+    info = _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    xg = _np.arange(w)
+    yg = _np.arange(h)
+
+    def synth_one(doc_id):
+        lum = ((doc_id * 31 + 7 * xg[None, :] + 13 * yg[:, None]) % 256).astype(
+            _np.uint8
+        )
+        rows = _np.zeros((h, row_bytes), _np.uint8)
+        rows[:, : w * 3] = _np.repeat(lum[:, :, None], 3, axis=2).reshape(
+            h, w * 3
+        )
+        return header + info + rows[::-1].tobytes()  # bottom-up storage
+
+    return synth_one
+
+
 def _make_bmp_pipeline():
     """FUSED synth→decode mapInPandas factory (r12 optimization): one
     Python stage builds each doc's genuine 24bpp BMP bytes (numpy gradient
@@ -214,35 +250,16 @@ def _make_bmp_pipeline():
     intermediate payload — and synthesized pixels with a per-PIXEL Python
     loop (216 iterations/doc). Fused: payload never crosses the boundary,
     pixels synthesize as one vectorized numpy expression per doc.
-    Self-contained closure (executor import rule)."""
+    Self-contained closure (executor import rule): ``synth_one`` is built
+    once on the driver and captured by value."""
 
-    w, h = _BMP_W, _BMP_H
+    synth_one = _make_bmp_fused_synth_one()
 
     def run(batches):
         import struct as _struct
 
         import numpy as _np
         import pandas as _pd
-
-        row_bytes = (w * 3 + 3) // 4 * 4
-        img_size = row_bytes * h
-        off = 14 + 40
-        header = b"BM" + _struct.pack("<IHHI", off + img_size, 0, 0, off)
-        info = _struct.pack(
-            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
-        )
-        xg = _np.arange(w)
-        yg = _np.arange(h)
-
-        def synth_one(doc_id):
-            lum = ((doc_id * 31 + 7 * xg[None, :] + 13 * yg[:, None]) % 256).astype(
-                _np.uint8
-            )
-            rows = _np.zeros((h, row_bytes), _np.uint8)
-            rows[:, : w * 3] = _np.repeat(lum[:, :, None], 3, axis=2).reshape(
-                h, w * 3
-            )
-            return header + info + rows[::-1].tobytes()  # bottom-up storage
 
         def decode_one(buf):
             assert buf[:2] == b"BM", "not a BMP"
@@ -1145,6 +1162,51 @@ def _make_phash_decoder():
     return decode
 
 
+def _make_phash_fused_synth_one():
+    """The fused phash pipeline's per-doc synth body, exposed as a
+    module-level factory so the pytest byte-identity assertion runs
+    against the EXACT closure the executors run (same rationale as
+    ``_make_bmp_fused_synth_one``)."""
+    import struct as _struct
+
+    import numpy as _np
+
+    w = h = _PH_W
+    groups = _PH_GROUPS
+    row_bytes = (w * 3 + 3) // 4 * 4
+    img_size = row_bytes * h
+    off = 14 + 40
+    header = b"BM" + _struct.pack("<IHHI", off + img_size, 0, 0, off)
+    info = _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    # per-bit base term depends only on j — computed once
+    j = _np.arange(64, dtype=_np.int64)
+    base = (j * j * 7919 + j * 104729 + 15485863) % 1000003
+
+    def synth_one(doc_id):
+        g = doc_id % groups
+        bits = ((g + 1) * base) % 1000003 % 2
+        bits[0] = 0
+        bits[63] = 1
+        if doc_id % 3 > 0:
+            bits[(doc_id * 7919) % 62 + 1] ^= 1
+        bg = doc_id % 23
+        lum = _np.where(
+            _np.repeat(_np.repeat(bits.reshape(8, 8), 2, axis=0), 2, axis=1)
+            > 0,
+            255,
+            bg,
+        ).astype(_np.uint8)
+        rows = _np.zeros((h, row_bytes), _np.uint8)
+        rows[:, : w * 3] = _np.repeat(lum[:, :, None], 3, axis=2).reshape(
+            h, w * 3
+        )
+        return header + info + rows[::-1].tobytes()  # bottom-up storage
+
+    return synth_one
+
+
 def _make_phash_pipeline():
     """FUSED synth→decode→aHash mapInPandas factory (r12 optimization):
     one Python stage renders each doc's genuine 16×16 BMP bytes
@@ -1153,10 +1215,10 @@ def _make_phash_pipeline():
     ``_make_phash_decoder``. The ~800 B/doc payload never crosses the JVM
     boundary, and the per-PIXEL Python render loop (256 iterations/doc)
     becomes one vectorized numpy expression (guide §4.1/§4.2).
-    Self-contained closure (executor import rule)."""
+    Self-contained closure (executor import rule): ``synth_one`` is built
+    once on the driver and captured by value."""
 
-    w = h = _PH_W
-    groups = _PH_GROUPS
+    synth_one = _make_phash_fused_synth_one()
 
     def run(batches):
         import struct as _struct
@@ -1164,37 +1226,7 @@ def _make_phash_pipeline():
         import numpy as _np
         import pandas as _pd
 
-        row_bytes = (w * 3 + 3) // 4 * 4
-        img_size = row_bytes * h
-        off = 14 + 40
-        header = b"BM" + _struct.pack("<IHHI", off + img_size, 0, 0, off)
-        info = _struct.pack(
-            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
-        )
-        # per-bit base term depends only on j — computed once per task
-        j = _np.arange(64, dtype=_np.int64)
-        base = (j * j * 7919 + j * 104729 + 15485863) % 1000003
         wpow = 1 << _np.arange(16, dtype=_np.int64)
-
-        def synth_one(doc_id):
-            g = doc_id % groups
-            bits = ((g + 1) * base) % 1000003 % 2
-            bits[0] = 0
-            bits[63] = 1
-            if doc_id % 3 > 0:
-                bits[(doc_id * 7919) % 62 + 1] ^= 1
-            bg = doc_id % 23
-            lum = _np.where(
-                _np.repeat(_np.repeat(bits.reshape(8, 8), 2, axis=0), 2, axis=1)
-                > 0,
-                255,
-                bg,
-            ).astype(_np.uint8)
-            rows = _np.zeros((h, row_bytes), _np.uint8)
-            rows[:, : w * 3] = _np.repeat(lum[:, :, None], 3, axis=2).reshape(
-                h, w * 3
-            )
-            return header + info + rows[::-1].tobytes()  # bottom-up storage
 
         def decode_one(buf):
             assert buf[:2] == b"BM", "not a BMP"
@@ -1244,9 +1276,13 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE fused Python stage (r12): synth + decode + aHash in a single
     # mapInPandas — the BMP payload never crosses the JVM boundary
     # (fused == two-stage asserted in pytest).
-    return docs.select("doc_id").mapInPandas(
-        _make_phash_pipeline(), schema=_PH_SCHEMA
-    ).localCheckpoint(eager=False)
+    return materialize(
+        docs.select("doc_id").mapInPandas(
+            _make_phash_pipeline(), schema=_PH_SCHEMA
+        ),
+        eager=False,
+        storage=None,
+    )
 
 
 def _phash_band_keys(hashes: DataFrame) -> DataFrame:
@@ -1418,10 +1454,11 @@ def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     so min over neighbor docs == min over neighbor classes' reps."""
     hashes = phash_hashes(spark, sf_dir)
     hcols = [f"h{b}" for b in range(_PH_BANDS)]
-    classes = (
+    classes = materialize(
         hashes.groupBy(*hcols)
-        .agg(F.min("doc_id").alias("class_rep"))
-        .localCheckpoint(eager=False)
+        .agg(F.min("doc_id").alias("class_rep")),
+        eager=False,
+        storage=None,
     )
     bk = _phash_band_keys(classes.withColumnRenamed("class_rep", "doc_id"))
     a, b = bk.alias("a"), bk.alias("b")
@@ -1537,7 +1574,7 @@ def assign_from_phash_index(
     from .text_index import _p
 
     classes = spark.read.parquet(_p(index_path, "classes"))
-    nh = _phash_hashes_of(new_docs).localCheckpoint(eager=False)
+    nh = materialize(_phash_hashes_of(new_docs), eager=False, storage=None)
     bkn = _phash_band_keys(nh)
     bkb = _phash_band_keys(classes.withColumnRenamed("class_rep", "doc_id"))
     cand = (

@@ -777,10 +777,12 @@ def _hybrid_ivf_df(
     if emb is None:
         emb = load(spark, sf_dir, "embeddings")
     qvecs = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
-    assigned = kmeans_fit_assign(spark, sf_dir, vecs=qvecs)
-    nv = qvecs.join(
-        assigned.select("vec_id", "cluster"), "vec_id"
-    ).withColumn("n2", norm2_q(F.col("qv")))
+    # r13: full=True returns (vec_id, qv, cluster) straight off the
+    # persisted assignment — the former qvecs⋈assignment join re-derived
+    # quantize from parquet for every one of nv's three consumers.
+    nv = kmeans_fit_assign(spark, sf_dir, vecs=qvecs, full=True).withColumn(
+        "n2", norm2_q(F.col("qv"))
+    )
     # exact integer MEAN centroid per cluster (truncating DIV, bounded
     # components — no int64 overflow at any cluster size; same shape as
     # sim_ivf_search's index build). r12 note: a wide single-aggregate

@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import register
+from ._materialize import materialize
 from ._vector import cosine_q, dot_q, norm2_q, quantize, sql_cosine, sql_dot, sql_quantize
 from .kmeans import _ITERS as _KM_ITERS
 from .kmeans import kmeans_fit_assign, sql_kmeans_assign
@@ -440,21 +441,33 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregate per iteration (k·dim ints to the driver); the
     search is an equi-join on the routed cluster id — scanned data drops
     by (nprobe / k)."""
-    return _ivf_topk(spark, sf_dir, _quantized(load(spark, sf_dir, "embeddings")))
+    return _ivf_topk(spark, sf_dir)
+
+
+def _ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted corpus frame every IVF consumer shares: the k-means
+    assignment WITH its quantized vectors (one persisted frame from
+    ``kmeans_fit_assign(full=True)`` — the IVF posting list) plus the
+    exact integer norm. r13: the former shape re-derived
+    quantize-from-parquet per consumer and paid a vecs-to-assignment
+    equi-join; this is a map-only projection of the already-persisted
+    assignment (guide 2.4)."""
+    return kmeans_fit_assign(spark, sf_dir, full=True).withColumn(
+        "n2", norm2_q(F.col("qv"))
+    )
 
 
 def _ivf_topk(
-    spark: SparkSession, sf_dir: str, q0: DataFrame, query_pred=None
+    spark: SparkSession, sf_dir: str, qn: DataFrame | None = None, query_pred=None
 ) -> DataFrame:
-    """IVF route over a shared ``_quantized`` frame: k-means assignment
-    join, integer-MEAN centroids, nprobe routing, exact re-rank within
-    probed cells. Extracted (like ``_knn_topk``) so ``sim_ivf_eval``
-    composes both routes off one upstream frame. ``query_pred`` overrides
-    the default fixed query set (truth-set sampling)."""
+    """IVF route over the shared fitted frame (``_ivf_fitted``):
+    integer-MEAN centroids, nprobe routing, exact re-rank within probed
+    cells. Extracted (like ``_knn_topk``) so ``sim_ivf_eval`` composes
+    both routes off one upstream frame. ``query_pred`` overrides the
+    default fixed query set (truth-set sampling)."""
     if query_pred is None:
         query_pred = F.col("vec_id") < _N_QUERIES
-    assigned = kmeans_fit_assign(spark, sf_dir)
-    q = q0.join(assigned, "vec_id")
+    q = qn if qn is not None else _ivf_fitted(spark, sf_dir)
     # exact integer MEAN centroid per k-means cluster (truncating DIV —
     # components bounded by the quantization scale, so the centroid norm
     # can never overflow int64 at any cluster size; mirrors the oracle's
@@ -606,13 +619,18 @@ def _ivf_eval_df(
     the search pipelines. The truth route is O(|queries|·N) with the
     vector table scanned once and never shuffled — the measurement
     price, exactly as in ``dedup_lsh_eval``, is the point of the query."""
-    q0 = _quantized(load(spark, sf_dir, "embeddings"))
+    # ONE upstream frame for BOTH routes: the persisted fitted corpus
+    # (r13 — the truth route used to re-derive quantize from parquet while
+    # the IVF route paid a join onto the assignment; the fitted frame has
+    # identical (vec_id, qv, n2) rows, plus the cluster the IVF route
+    # needs, and is already materialized by the fit).
+    qn = _ivf_fitted(spark, sf_dir)
     if query_k is not None:
-        query_pred = F.col("vec_id").isin(_sampled_ids(q0, query_k))
-    truth = _knn_topk(q0, query_pred).select(
+        query_pred = F.col("vec_id").isin(_sampled_ids(qn, query_k))
+    truth = _knn_topk(qn, query_pred).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_t")
     )
-    ivf = _ivf_topk(spark, sf_dir, q0, query_pred).select(
+    ivf = _ivf_topk(spark, sf_dir, qn, query_pred).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_i")
     )
     j = truth.join(ivf, ["query_id", "neighbor_id"], "full_outer")
@@ -793,7 +811,11 @@ def ivf_base_index(
     counts). Extracted so the streaming twin
     (``streaming/ann_maintenance.py``) pins the SAME index the batch
     operator builds."""
-    assigned = kmeans_fit_assign(spark, sf_dir, vecs=base).join(base, "vec_id")
+    # r13: full=True returns (vec_id, qv, cluster) straight off the
+    # persisted assignment — the former .join(base, "vec_id") re-derived
+    # the base subtree and paid an equi-join for a column the fit already
+    # carried.
+    assigned = kmeans_fit_assign(spark, sf_dir, vecs=base, full=True)
     # exact integer-MEAN centroid per cell (truncating DIV — the _ivf_topk
     # convention, mirrored by the oracle's // division). r12 note: the
     # wide single-aggregate variant (64 sum columns) measured slower —
@@ -817,15 +839,28 @@ def ivf_route(newv: DataFrame, cent: DataFrame) -> DataFrame:
     the same exact integer metric as the Lloyd assignment
     (|c|² − 2·v·c, ties to the lowest cluster id), broadcast k rows
     against O(new) rows — the cheap map-side step both the batch
-    operator and the streaming twin run per arriving batch."""
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        (F.col("cn2") - 2 * dot_q(F.col("qv"), F.col("cv"))).asc(), F.col("cluster")
-    )
+    operator and the streaming twin run per arriving batch.
+
+    r13: the argmin is ONE lexicographic struct-min hash aggregate —
+    (dist, cluster) is unique per vec_id, so min(struct(dist, cluster,
+    qv)) IS the row_number()==1 row (qv rides along: it is constant per
+    vec_id, and (dist, cluster) already totally orders the group). The
+    former window shape paid a full exchange+sort of the O(new)×k
+    candidate stream where a map-side-combinable aggregate suffices —
+    the same lesson as _pq_topk's encode argmin (r12)."""
     return (
         newv.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "qv", "cluster")
+        .select(
+            "vec_id",
+            F.struct(
+                (F.col("cn2") - 2 * dot_q(F.col("qv"), F.col("cv"))).alias("d"),
+                F.col("cluster"),
+                F.col("qv"),
+            ).alias("cand"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("m"))
+        .select("vec_id", F.col("m.qv").alias("qv"), F.col("m.cluster").alias("cluster"))
     )
 
 
@@ -1006,7 +1041,12 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the entire point of PQ at 100 TB. Recall vs exact L2 asserted
     >= 0.6 in tests/test_northstar.py."""
     e = load(spark, sf_dir, "embeddings")
-    q = e.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    # shared-frame checkpoint (r13): the quantized corpus feeds the seed
+    # top-k, the encode explode, the LUT explode and both re-rank sides —
+    # five references that each re-ran scan+quantize (the r12 ≥3-consumer
+    # rule from the dedup family, applied to the PQ route). One row per
+    # vector — the (vec_id, qv) table a PQ service stores anyway.
+    q = materialize(e.select("vec_id", quantize(F.col("embedding")).alias("qv")))
     return _pq_topk(spark, q)
 
 
@@ -1174,7 +1214,10 @@ def _pq_eval_df(
     upstream frame, one full-outer equi-join on the (query, neighbor)
     pair key, every count folded in one map-side-combinable aggregate."""
     e = load(spark, sf_dir, "embeddings")
-    q = e.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    # shared-frame checkpoint (r13): the PQ route consumes the quantized
+    # corpus five times (see sim_pq_search) and the exact-L2 truth route
+    # two more — one materialization, seven reads.
+    q = materialize(e.select("vec_id", quantize(F.col("embedding")).alias("qv")))
     if query_k is not None:
         query_pred = F.col("vec_id").isin(_sampled_ids(q, query_k))
     truth = _l2_topk(q, query_pred).select(
@@ -1362,21 +1405,21 @@ def sim_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = allq.filter(~F.col("is_new")).select("vec_id", "qv")
     newv = allq.filter(F.col("is_new")).select("vec_id", "qv")
     # codebooks from the BASE corpus only (the standing index): the
-    # _PQ_CODES md5-smallest base vec_ids, tiny bounded index-build collect
-    seed_ids = [
-        r["vec_id"]
-        for r in base.select(
-            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+    # _PQ_CODES md5-smallest base vec_ids. ONE tiny driver collect — the
+    # top-k carries qv along (r13: the former isin(seed_ids) re-filter
+    # paid a second full base scan + collect; same fix as _pq_topk's r12
+    # codebook build).
+    seed_rows = (
+        base.select(
+            "vec_id", "qv", F.md5(F.col("vec_id").cast("string")).alias("h")
         )
         .orderBy("h")
         .limit(_PQ_CODES)
         .collect()
-    ]
+    )
     cb_rows = [
         (code, r["qv"])
-        for code, r in enumerate(
-            base.filter(F.col("vec_id").isin(seed_ids)).orderBy("vec_id").collect()
-        )
+        for code, r in enumerate(sorted(seed_rows, key=lambda r: r["vec_id"]))
     ]
     cb = spark.createDataFrame(cb_rows, "code LONG, qv ARRAY<LONG>")
     subspaces = F.array(

@@ -67,90 +67,18 @@ _LOADED = False
 # order); everything else follows in registration order.
 #
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-12 WINDOW (first 50 reach the driver) — stale-row rotation,
-    # executing the r11 VERDICT's #1 ask. Round 11 went 50/50 green (the
-    # sixth consecutive fully-green round); after it, 17 rows' latest
-    # green is round 8 (they go HARD-stale the moment CORRECTNESS_r12
-    # lands: latest_round-4 == 8) and 50 rows' latest green is round 9.
-    # The window carries all 17 r8 rows plus the 33 most drift-exposed
-    # r9 rows; 17 r9 rows defer to round 13 (listed at the bottom — they
-    # MUST lead the next rotation).
+    # ROUND-13 WINDOW (first 50 reach the driver) — stale-row rotation,
+    # executing the r12 rotation plan (r12 VERDICT #8). After
+    # CORRECTNESS_r12 landed (50/50 green, the seventh consecutive
+    # fully-green round), the staleness map is: 21 rows' latest green is
+    # round 9 (the r12 deferred tail — they lead this window, as
+    # promised), 50 rows' latest green is round 10. No red rows, no
+    # never-checked rows. The window = the 21 r9 rows + the 29 most
+    # drift-exposed r10 rows; the remaining 21 r10 rows defer to round 14
+    # (listed at the bottom — they MUST lead the next rotation).
     #
-    # Tier 0 — NEW in round 12, never driver-checked: perceptual-hash
-    # image near-dup + its linear-output assignment twin (r11 VERDICT #5)
-    # and read-side time travel under an oracle row (r11 VERDICT stretch
-    # c). Each displaces one trailing tier-2 row past slot 50.
-    "mm_phash_dedup",
-    "mm_phash_groups",
-    "mm_phash_assign_from_index",
-    "meta_read_version_asof",
-    # Tier 1 — the 17 rows whose latest green is round 8 (the rotation
-    # tripwire's must-have set, named verbatim in the r11 VERDICT).
-    "agg_basic_stats",
-    "func_bitwise_family",
-    "func_date_arith",
-    "meta_show_tables",
-    "text_bm25_search",
-    "text_doc_chunking",
-    "text_domain_mixture",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_ngram_topk",
-    "text_pii_redact",
-    "text_quality_filter",
-    "text_quality_signals",
-    "text_stats_by_lang",
-    "text_token_count_bpe",
-    "window_distribution",
-    "window_range_frame",
-    # Tier 2 — 33 of the 50 r9 rows, most drift-exposed first
-    # (decorrelated TPC-H joins, the full 8-type join family, pagerank
-    # fixpoint, Python-worker multimodal/pipeline rows, pagination
-    # keyset/top-k plans, banded dedup and sampled IVF/PQ evals — the
-    # shapes most sensitive to plan changes and arrow/HUGEINT driver
-    # drift). The LAST FOUR names sit at slots 51-54 once round-12's
-    # four tier-0 registrations land, deferring to round 13 by design
-    # (statistical-contract / layout shapes with dedicated pytest
-    # coverage).
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q4_priority_exists",
-    "q5_local_supplier_volume",
-    "q11_important_stock",
-    "q12_priority_lateness",
-    "q17_small_qty_revenue",
-    "join_full_outer",
-    "join_inner_chain",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_nonequi_band",
-    "join_right_outer",
-    "graph_pagerank_purchases",
-    "pipeline_corpus_curation",
-    "page_filtered_sorted",
-    "page_keyset",
-    "page_limit_offset",
-    "page_sort_limit",
-    "page_topk_per_group",
-    "mm_binary_features",
-    "dedup_keep_first",
-    "dedup_lsh_eval_sampled",
-    "dedup_semantic",
-    "dedup_span_exact",
-    "sim_ivf_eval_sampled",
-    "sim_ivf_kmeans",
-    "sim_pq_eval_sampled",
-    "ts_user_lifetime",
-    "scale_zorder_layout",
-    "sample_bernoulli",
-    "sample_stratified",
-    # Deferred-to-round-13 r9 tail (stale there; they lead the next
-    # rotation): seven pure-expression aggregation forms, func_math_family,
-    # two set-ops, six map-only/expression text_* rows and meta_select_one
-    # — all shapes with dedicated pytest + fuzz coverage and no plan
-    # sensitivity (single-pass groupBy or per-row expressions). Still
-    # priority-ordered so they lead the next rotation.
+    # Tier 1 — the 21 rows whose latest green is round 9 (the rotation
+    # tripwire's must-have set).
     "agg_collect_set",
     "agg_count_distinct",
     "agg_cube",
@@ -168,6 +96,72 @@ _PRIORITY: tuple[str, ...] = (
     "text_hybrid_rrf",
     "text_repetition_stats",
     "meta_select_one",
+    "sample_bernoulli",
+    "sample_stratified",
+    "scale_zorder_layout",
+    "ts_user_lifetime",
+    # Tier 2 — 29 of the 50 r10 rows, most drift-exposed first: the
+    # entire k-means-fit family this round's optimizer restructures
+    # (full-frame assignment — sim_ivf_search/refresh, hybrid RRF, the
+    # PQ routes), the banded/graph dedup chain riding the r12
+    # checkpoints, Python-worker rows, and the remaining plan-sensitive
+    # join/aggregate shapes.
+    "sim_ivf_search",
+    "sim_ivf_refresh",
+    "sim_hybrid_rrf_ivf",
+    "sim_pq_search",
+    "sim_pq_refresh",
+    "sim_knn_bruteforce",
+    "sim_ann_lsh",
+    "dedup_cluster_best",
+    "dedup_components",
+    "dedup_lsh_eval",
+    "dedup_lsh_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_keep_latest",
+    "dedup_distinct",
+    "mm_decode_resize_stats",
+    "agg_heavy_hitters",
+    "agg_quantiles",
+    "agg_approx_count_distinct",
+    "text_contamination_check",
+    "text_dsir_select",
+    "text_domain_cap",
+    "text_pack_sequences",
+    "ts_rollup_incremental",
+    "scale_interval_bucket_join",
+    "fuzzy_levenshtein_match",
+    # Deferred-to-round-14 r10 tail (stale there; they lead the next
+    # rotation): pure-expression aggregate/window forms, scalar func
+    # families, cross join, metadata probes, three single-join TPC-H
+    # revenue rows and four set-ops — all shapes with dedicated pytest +
+    # fuzz coverage and no plan sensitivity. Still priority-ordered so
+    # they lead the next rotation.
+    "agg_argmax_family",
+    "agg_histogram",
+    "agg_hll_mergeable",
+    "agg_ohlc_hourly",
+    "agg_percentile_approx",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_string_agg",
+    "agg_topk_per_key",
+    "func_array_ops",
+    "func_conditional",
+    "join_cross",
+    "meta_show_create_table",
+    "meta_show_databases",
+    "q14_promo_revenue",
+    "q19_brand_band_revenue",
+    "q6_forecast_revenue",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
 )
 
 

@@ -41,7 +41,9 @@ def lsh_incremental_handler(base_docs: DataFrame, results_path: str):
     pins it for the life of the query, standing in for the persisted
     index table a deployment would maintain. Each batch's assignments
     commit via the exactly-once versioned append."""
-    base_index = lsh_base_index(_shingled(base_docs)).localCheckpoint()
+    from ..operators._materialize import materialize
+
+    base_index = materialize(lsh_base_index(_shingled(base_docs)), storage=None)
     append = foreach_batch_versioned(results_path, mode="append")
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:

@@ -120,15 +120,13 @@ def test_fused_phash_equals_two_stage(spark):
 def test_fused_synth_bytes_identical(spark):
     """The fused closures still synthesize the REAL payload bytes: for a
     sample of doc ids, the bytes produced inside each fused stage equal
-    the original synth UDF's output byte-for-byte. Exercised by running
-    the original synth UDFs over a small id range and re-deriving the
-    fused synth bodies' output via the module-level reference formulas
-    (the fused bodies inline the same formulas; any drift shows up in the
-    output-equality tests above — this test additionally pins the BYTES
-    for the two vectorized rewrites, BMP-fixed and phash)."""
-    import numpy as np
-    import struct
-
+    the original synth UDF's output byte-for-byte. The fused synth bodies
+    are exposed as module-level factories
+    (``_make_bmp_fused_synth_one`` / ``_make_phash_fused_synth_one``) and
+    captured by the shipped pipelines, so this assertion runs against the
+    EXACT closures the executors execute (r12 ADVICE: the first cut
+    re-implemented the formulas in the test, which could mask
+    compensating synth+decode drift)."""
     ids = [0, 1, 2, 3, 7, 23, 62, 63, 199, 200, 499]
     id_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
 
@@ -146,49 +144,15 @@ def test_fused_synth_bytes_identical(spark):
         ).collect()
     }
 
-    # fused-path synth bodies (the same numpy code the fused closures run)
+    # the SHIPPED fused synth closures (what the executors run)
     from olap_db_spark.operators.multimodal_ops import (
-        _BMP_H,
-        _BMP_W,
         _PH_GROUPS,
-        _PH_W,
-        _phash_bits,
+        _make_bmp_fused_synth_one,
+        _make_phash_fused_synth_one,
     )
 
-    def fused_bmp(doc_id):
-        w, h = _BMP_W, _BMP_H
-        row_bytes = (w * 3 + 3) // 4 * 4
-        off = 14 + 40
-        header = b"BM" + struct.pack("<IHHI", off + row_bytes * h, 0, 0, off)
-        info = struct.pack(
-            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h, 2835, 2835, 0, 0
-        )
-        xg, yg = np.arange(w), np.arange(h)
-        lum = ((doc_id * 31 + 7 * xg[None, :] + 13 * yg[:, None]) % 256).astype(
-            np.uint8
-        )
-        rows = np.zeros((h, row_bytes), np.uint8)
-        rows[:, : w * 3] = np.repeat(lum[:, :, None], 3, axis=2).reshape(h, w * 3)
-        return header + info + rows[::-1].tobytes()
-
-    def fused_ph(doc_id):
-        w = h = _PH_W
-        row_bytes = (w * 3 + 3) // 4 * 4
-        off = 14 + 40
-        header = b"BM" + struct.pack("<IHHI", off + row_bytes * h, 0, 0, off)
-        info = struct.pack(
-            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h, 2835, 2835, 0, 0
-        )
-        bits = np.array(_phash_bits(doc_id), dtype=np.int64)
-        bg = doc_id % 23
-        lum = np.where(
-            np.repeat(np.repeat(bits.reshape(8, 8), 2, axis=0), 2, axis=1) > 0,
-            255,
-            bg,
-        ).astype(np.uint8)
-        rows = np.zeros((h, row_bytes), np.uint8)
-        rows[:, : w * 3] = np.repeat(lum[:, :, None], 3, axis=2).reshape(h, w * 3)
-        return header + info + rows[::-1].tobytes()
+    fused_bmp = _make_bmp_fused_synth_one()
+    fused_ph = _make_phash_fused_synth_one()
 
     assert _PH_GROUPS == 200
     for i in ids:
