@@ -21,6 +21,17 @@ re-reads the materialized blocks instead of failing the query. The cost —
 one write + read of the frame through the reliable store — is the
 standard price of fault tolerance at 100 TB; the gate stays off for
 benches and local runs.
+
+Retention (r12 ADVICE): checkpoint-backed frames cannot be unpersisted
+explicitly — their blocks are freed when the last reference to the
+DataFrame is garbage-collected and the ContextCleaner runs. In the
+one-shot-per-query harness that happens naturally after each query's
+action; a library-style caller invoking these operators repeatedly in
+one long session should drop its result references promptly (or call
+``spark.catalog.clearCache()`` between batches) so accumulated
+checkpoint storage stays bounded. The k-means assignment, which uses a
+plain ``persist``, has an explicit keep-last-2 unpersist registry in
+``kmeans.py`` for the same reason.
 """
 
 from __future__ import annotations
